@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test harness; the conf is written so the same code
+runs unchanged on a multi-executor cluster (spark-submit --py-files):
+AQE on (runtime coalesce + skew-join split), shuffle partitions sized
+to cores locally (override via spark.sql.shuffle.partitions on a real
+cluster), Arrow enabled for every pandas-UDF stage, UTC session TZ so
+results compare bit-for-bit against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "grisp_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` controls local parallelism (``local[cores]``); on a real
+    cluster, leave master unset via SPARK_GRAFT_MASTER env. Shuffle
+    partitions default to the core count locally — at 100 TB you would
+    set this to ~2-3x total executor cores and let AQE coalesce.
+    """
+    cores = cores or DEFAULT_CPUS
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    shuffle = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,63 @@
+"""Order-insensitive Spark-vs-DuckDB result comparison, mirroring the
+driver's correctness gate (row count + schema + value hash with
+columns sorted by name). Used by tests to validate every
+queries()/oracle_sql() pair locally before the driver does."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from grisp_spark.sources.testdata import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # round so float agg ordering differences don't flap the hash
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
+    return str(v)
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return sorted(rows)
+
+
+def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, name: str = "") -> None:
+    spdf = spark_df.toPandas()
+    con = duck_connect(sf_dir)
+    try:
+        ddf = con.execute(oracle_sql).fetchdf()
+    finally:
+        con.close()
+    assert sorted(spdf.columns) == sorted(ddf.columns), (
+        f"{name}: column mismatch spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}"
+    )
+    assert len(spdf) == len(ddf), f"{name}: row count spark={len(spdf)} duck={len(ddf)}"
+    srows, drows = canonical_rows(spdf), canonical_rows(ddf)
+    mism = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: spark={srows[mism[0]]} duck={drows[mism[0]]}"
+    )
