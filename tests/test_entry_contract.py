@@ -1,0 +1,35 @@
+"""Mirror of the driver's correctness gate: every queries() entry with
+an oracle_sql() entry must match DuckDB at sf0.01 (row count, schema,
+order-insensitive values)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.compare import assert_matches_oracle
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_all_queries_have_callables():
+    assert QUERIES, "queries() must not be empty"
+    missing = [k for k in ORACLES if k not in QUERIES]
+    assert not missing, f"oracle_sql keys missing from queries(): {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, ORACLES[name], sf_dir, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
