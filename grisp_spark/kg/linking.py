@@ -1,0 +1,177 @@
+"""Fused mention-detection + candidate-generation + link-scoring stage.
+
+One Arrow-batched ``mapInPandas`` pass per conversation partition does
+what grisp's map-side LMDB lookups do (PagesByTitleCache /
+LabelCache / RedirectCache probed from LabelSensesStep.java:190-328):
+gazetteer scan → candidate senses with anchor priors → context
+centroid scoring → argmax link. Everything the stage needs is
+broadcast (gazetteer dict + entity vectors) so the stage is
+shuffle-free — at 1000 executors it scales linearly with input
+partitions, exactly like the reference's "LMDB to avoid distributed
+data" design (/root/reference/README.md:9) but with Spark broadcast
+instead of local LMDB files.
+
+Scale notes (100 TB): the broadcast gazetteer is the working-set
+bound (reference sizes: ~64M labels, LabelCache.java:46). A python
+dict of 64M surfaces is ~10-15 GB — at that scale swap the dict for a
+pyarrow hash table / marisa-trie per executor; the stage contract
+(batch in → linked mentions out) is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grisp_spark.kg import spec
+
+LINKED_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, "
+    "begin int, end int, surface string, entity_id long, score double"
+)
+
+# Executor-local memo for word vectors (deterministic → cache-safe).
+_WORD_VEC_CACHE: dict[str, np.ndarray] = {}
+
+
+def _cached_word_vec(w: str) -> np.ndarray:
+    v = _WORD_VEC_CACHE.get(w)
+    if v is None:
+        v = spec.word_vec(w)
+        if len(_WORD_VEC_CACHE) < 2_000_000:
+            _WORD_VEC_CACHE[w] = v
+    return v
+
+
+def _centroid_cached(words: list[str]) -> np.ndarray:
+    if not words:
+        return np.zeros(spec.EMBED_DIM, dtype=np.float32)
+    m = np.mean([_cached_word_vec(w) for w in words], axis=0)
+    nrm = np.linalg.norm(m)
+    return (m / nrm).astype(np.float32) if nrm > 0 else m.astype(np.float32)
+
+
+def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame]):
+    """Collect the (small) KB side to the driver and broadcast it —
+    the Spark analogue of the reference driver building LMDB caches
+    between jobs (DumpExtractor.java:253-273,302-344). At real scale
+    label_stats is itself a pipeline output (stats.py) and this stays
+    a broadcast as long as it fits (AQE would pick broadcast for the
+    equivalent join anyway); beyond that, flip to a shuffle join on
+    surface."""
+    stats = (
+        kb["label_stats"]
+        .filter(F.length("label") < spec.MAX_LABEL_CHARS)
+        .select("label", "entity_id", "link_occ", "link_doc")
+        .toPandas()
+    )
+    gaz: dict[str, list[tuple[int, int, int]]] = {}
+    for r in stats.itertuples(index=False):
+        gaz.setdefault(r.label, []).append(
+            (int(r.entity_id), int(r.link_occ), int(r.link_doc))
+        )
+    gaz = {k: spec.order_senses(v) for k, v in gaz.items()}
+
+    ents = kb["entities"].select("entity_id", "context_vocab").toPandas()
+    evecs = {
+        int(r.entity_id): spec.centroid(list(r.context_vocab))
+        for r in ents.itertuples(index=False)
+    }
+    sc = spark.sparkContext
+    return sc.broadcast(gaz), sc.broadcast(evecs)
+
+
+def link_mentions(
+    conv: DataFrame,
+    gaz_bc,
+    evec_bc,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """conversations → linked mentions.
+
+    Repartitions by conv_id with a secondary sort on turn_idx (the
+    north-rule layout: each conversation contiguous and ordered inside
+    a partition, mirroring grisp's one-page-per-map-call atomicity,
+    LabelSensesStep.java:199-311)."""
+    n_partitions = n_partitions or conv.sparkSession.sparkContext.defaultParallelism
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = gaz_bc.value
+        evecs = evec_bc.value
+        for pdf in batches:
+            out: dict[str, list] = {
+                "conv_id": [], "turn_idx": [], "role": [], "tool": [],
+                "begin": [], "end": [], "surface": [], "entity_id": [],
+                "score": [],
+            }
+            for row in pdf.itertuples(index=False):
+                tokens = spec.tokenize(row.text or "")
+                if not tokens:
+                    continue
+                found = spec.detect_mentions(tokens, gaz)
+                if not found:
+                    continue
+                ctx_cache: dict[tuple[int, int], np.ndarray] = {}
+                for begin, end, surface in found:
+                    senses = gaz[surface]
+                    total = sum(s[1] for s in senses)
+                    key = (begin, end)
+                    ctx = ctx_cache.get(key)
+                    if ctx is None:
+                        ctx = _centroid_cached(tokens[:begin] + tokens[end:])
+                        ctx_cache[key] = ctx
+                    cands = []
+                    for eid, occ, _doc in senses:
+                        prior = occ / total if total else 0.0
+                        cos = spec.cosine(ctx, evecs[eid])
+                        cands.append((eid, spec.score_candidate(prior, cos)))
+                    picked = spec.pick_sense(cands)
+                    if picked is None:
+                        continue
+                    eid, score = picked
+                    out["conv_id"].append(row.conv_id)
+                    out["turn_idx"].append(row.turn_idx)
+                    out["role"].append(row.role)
+                    out["tool"].append(row.tool)
+                    out["begin"].append(begin)
+                    out["end"].append(end)
+                    out["surface"].append(surface)
+                    out["entity_id"].append(eid)
+                    out["score"].append(score)
+            yield pd.DataFrame(out)
+
+    laid_out = conv.repartition(n_partitions, "conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+    return laid_out.mapInPandas(run, schema=LINKED_SCHEMA)
+
+
+def detect_only(conv: DataFrame, gaz_bc, n_partitions: int | None = None) -> DataFrame:
+    """Detection without linking (text-occurrence side, A3 analogue) —
+    used by the stats stage and unit tests."""
+    n_partitions = n_partitions or conv.sparkSession.sparkContext.defaultParallelism
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = gaz_bc.value
+        for pdf in batches:
+            rows = {"conv_id": [], "turn_idx": [], "begin": [], "end": [], "surface": []}
+            for row in pdf.itertuples(index=False):
+                tokens = spec.tokenize(row.text or "")
+                for begin, end, surface in spec.detect_mentions(tokens, gaz):
+                    rows["conv_id"].append(row.conv_id)
+                    rows["turn_idx"].append(row.turn_idx)
+                    rows["begin"].append(begin)
+                    rows["end"].append(end)
+                    rows["surface"].append(surface)
+            yield pd.DataFrame(rows)
+
+    laid_out = conv.repartition(n_partitions, "conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+    return laid_out.mapInPandas(
+        run, schema="conv_id string, turn_idx int, begin int, end int, surface string"
+    )

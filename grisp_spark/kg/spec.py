@@ -1,0 +1,141 @@
+"""Shared, pure-Python semantic primitives of the KG pipeline.
+
+These functions ARE the pipeline's semantics: the Spark stages call
+them inside Arrow-batched UDFs, and the reference oracle
+(kg/oracle.py) calls the same functions row-by-row. P/R between the
+two therefore measures the distributed plumbing (partitioning,
+shuffles, joins, checkpoint/resume), not incidental float or
+tokenizer drift.
+
+Reference parity notes (grisp @ /root/reference):
+- tokenizer boundary chars mirror
+  nerd-data/src/main/java/org/wikipedia/miner/extract/LabelOccurrencesStep.java:169
+  (regex ``[\\s{}()"'.,;:\\-_]``)
+- ngram max length 15 tokens: LabelOccurrencesStep.java:114
+- skip 1-char ngrams preceded by an apostrophe: LabelOccurrencesStep.java:189
+- title normalization (first char uppercased, '_'→' ', strip
+  '#fragment', trim): util/Util.java:11-26
+- sense ordering (link_occ desc, link_doc desc, entity_id asc):
+  DumpExtractor.java:930-944
+- labels ≥500 chars dropped on dictionary load: util/LabelCache.java:122
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+MAX_LABEL_TOKENS = 15
+MAX_LABEL_CHARS = 500
+BOUNDARY_RE = re.compile(r"[^\s{}()\"'.,;:\-_]+")
+EMBED_DIM = 32
+PRIOR_WEIGHT = 0.6
+CONTEXT_WEIGHT = 0.4
+# Deterministic caps (reference caps by arrival order; we cap by sort
+# order — documented deviation, SURVEY.md §7).
+MAX_LABELS_PER_ENTITY = 1000
+MAX_LINKS_PER_NODE = 50000
+
+
+def normalize_title(s: str) -> str:
+    """util/Util.java:11-26 semantics."""
+    s = s.split("#", 1)[0].replace("_", " ").strip()
+    if not s:
+        return s
+    return s[0].upper() + s[1:]
+
+
+def tokenize(text: str) -> list[str]:
+    """Boundary-char tokenizer (LabelOccurrencesStep.java:169)."""
+    if not text:
+        return []
+    return BOUNDARY_RE.findall(text)
+
+
+def detect_mentions(
+    tokens: list[str], gazetteer: dict[str, int]
+) -> list[tuple[int, int, str]]:
+    """Greedy longest-match-first non-overlapping gazetteer scan.
+
+    ``gazetteer`` maps normalized surface → max-ngram-hint (unused per
+    key; the dict doubles as the membership set). Returns
+    (begin_token, end_token_exclusive, normalized_surface).
+
+    Mirrors the reference's ngram loop (LabelOccurrencesStep.java:178-204)
+    with the non-overlapping longest-match region rule of
+    util/Util.java:39-76.
+    """
+    out: list[tuple[int, int, str]] = []
+    n = len(tokens)
+    i = 0
+    while i < n:
+        matched = False
+        for ln in range(min(MAX_LABEL_TOKENS, n - i), 0, -1):
+            surface = normalize_title(" ".join(tokens[i : i + ln]))
+            if len(surface) >= MAX_LABEL_CHARS:
+                continue
+            if surface in gazetteer:
+                # F6: skip single-char ngram preceded by apostrophe
+                if ln == 1 and len(tokens[i]) == 1 and i > 0 and tokens[i - 1].endswith("'"):
+                    continue
+                out.append((i, i + ln, surface))
+                i += ln
+                matched = True
+                break
+        if not matched:
+            i += 1
+    return out
+
+
+def word_vec(word: str) -> np.ndarray:
+    """Deterministic pseudo-embedding: 32-dim unit vector seeded from
+    md5(word). A stand-in for word2vec with the exact consumption shape
+    of the reference's quantized vectors (Word2VecCompress.java:45-52);
+    swap for real vectors in production."""
+    h = hashlib.md5(word.lower().encode("utf-8")).digest()
+    seed = int.from_bytes(h[:8], "little")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(EMBED_DIM)
+    nrm = np.linalg.norm(v)
+    return (v / nrm).astype(np.float32)
+
+
+def centroid(words: list[str]) -> np.ndarray:
+    """CentroidEntityScorer.java:34-55: mean of word vectors, normalized."""
+    if not words:
+        return np.zeros(EMBED_DIM, dtype=np.float32)
+    m = np.mean([word_vec(w) for w in words], axis=0)
+    nrm = np.linalg.norm(m)
+    return (m / nrm).astype(np.float32) if nrm > 0 else m.astype(np.float32)
+
+
+def cosine(a: np.ndarray, b: np.ndarray) -> float:
+    """LinearAlgebra.java:20-37 inner product on unit vectors."""
+    na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return float(np.dot(a, b) / (na * nb))
+
+
+def order_senses(senses: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
+    """(entity_id, link_occ, link_doc) ordered per DumpExtractor.java:930-944:
+    link_occ desc, link_doc desc, entity_id asc."""
+    return sorted(senses, key=lambda s: (-s[1], -s[2], s[0]))
+
+
+def score_candidate(prior: float, ctx_cos: float) -> float:
+    """Combined anchor-prior + context-similarity score. Deterministic:
+    pure float64 arithmetic, identical in oracle and UDF."""
+    return PRIOR_WEIGHT * prior + CONTEXT_WEIGHT * ctx_cos
+
+
+def pick_sense(
+    candidates: list[tuple[int, float]],
+) -> tuple[int, float] | None:
+    """argmax score, ties broken by min entity_id (full ordering — the
+    reference breaks ties by id at DumpExtractor.java:942)."""
+    if not candidates:
+        return None
+    return min(candidates, key=lambda c: (-c[1], c[0]))

@@ -1,0 +1,88 @@
+"""Label statistics builder — grisp steps 3+5 analogue.
+
+Computes the gazetteer's own statistics back from the corpus:
+link_occ/link_doc per (label, sense) from linked mentions (A1/A2,
+LabelSensesStep.java:199-311,427-464) and text_occ/text_doc per label
+from all detected occurrences (A3, LabelOccurrencesStep.java:153-239),
+merged like the reference's sorted full-outer label merge
+(DumpExtractor.java:701-853). Doc counts use count_distinct(conv_id) —
+identical to the reference's count-1-per-doc-then-sum because
+detection pre-aggregates per conversation.
+
+Partial aggregation (the reference's combiner-as-reducer) is Spark's
+default hash-agg; hot labels (the skew guard motivating grisp's row
+caps) are handled by the two-phase salted variant below."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def link_stats(linked: DataFrame) -> DataFrame:
+    return linked.groupBy("surface", "entity_id").agg(
+        F.count("*").alias("link_occ"),
+        F.countDistinct("conv_id").alias("link_doc"),
+    )
+
+
+def text_stats(mentions: DataFrame) -> DataFrame:
+    return mentions.groupBy("surface").agg(
+        F.count("*").alias("text_occ"),
+        F.countDistinct("conv_id").alias("text_doc"),
+    )
+
+
+def build_label_stats(mentions: DataFrame, linked: DataFrame) -> DataFrame:
+    """(label, entity_id, link_occ, link_doc, text_occ, text_doc) for
+    every linked sense — the J5 merge. Linked surfaces are a subset of
+    detected surfaces, so this is a left join from the link side; the
+    reference's A-only/B-only warning branches become the sanity view
+    below."""
+    ls = link_stats(linked)
+    ts = text_stats(mentions)
+    return (
+        ls.join(ts, "surface", "left")
+        .select(
+            F.col("surface").alias("label"),
+            "entity_id",
+            "link_occ",
+            "link_doc",
+            F.coalesce("text_occ", F.lit(0)).alias("text_occ"),
+            F.coalesce("text_doc", F.lit(0)).alias("text_doc"),
+        )
+    )
+
+
+def sanity_violations(label_stats: DataFrame) -> DataFrame:
+    """Labels where summed link_occ exceeds text_occ — the reference's
+    weird-label warning (DumpExtractor.java:785-789). Should be empty
+    by construction (every linked mention is a detected mention)."""
+    per_label = label_stats.groupBy("label", "text_occ").agg(
+        F.sum("link_occ").alias("sum_link_occ")
+    )
+    return per_label.filter(F.col("sum_link_occ") > F.col("text_occ"))
+
+
+def salted_label_stats(
+    mentions: DataFrame, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase salted aggregation for hot labels (the skew driver:
+    one entity in >30% of turns). Phase 1 aggregates (label, salt)
+    partials; phase 2 merges the ≤n_salts partials per label. Exact
+    counts for occ; doc counts stay exact because phase 1 collects
+    per-salt distinct conv sets only within the salt — so doc counts
+    use approx-union via count_distinct over (salt-partitioned) convs:
+    a conv hashes to one salt deterministically, making partial
+    distinct counts disjoint and their sum exact."""
+    salted = mentions.withColumn(
+        "salt", F.pmod(F.xxhash64("conv_id"), F.lit(n_salts))
+    )
+    phase1 = salted.groupBy("surface", "salt").agg(
+        F.count("*").alias("occ_part"),
+        F.countDistinct("conv_id").alias("doc_part"),
+    )
+    return phase1.groupBy("surface").agg(
+        F.sum("occ_part").alias("text_occ"),
+        F.sum("doc_part").alias("text_doc"),
+    )

@@ -1,0 +1,143 @@
+"""End-to-end KG pipeline vs the reference-semantics oracle:
+triple P/R ≥ 0.95 (BASELINE.json gate), stage parity, resume identity."""
+
+import os
+
+import pytest
+
+from grisp_spark.kg import datagen, linking, oracle
+from grisp_spark.kg.pipeline import KGPipeline
+
+DATA = "/root/repo/.data/kg_test"
+OUT = "/root/repo/.data/kg_test_out"
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    datagen.write_dataset(DATA, seed=42, n_convs=60)
+    return DATA
+
+
+@pytest.fixture(scope="module")
+def oracle_result(dataset):
+    import pandas as pd
+
+    kb = {
+        n: pd.read_parquet(os.path.join(dataset, f"{n}.parquet"))
+        for n in ("entities", "aliases", "label_stats")
+    }
+    conv = pd.read_parquet(os.path.join(dataset, "conversations.parquet"))
+    return oracle.run_oracle(conv, kb)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, dataset):
+    import shutil
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    pipe = KGPipeline(spark, dataset, OUT, n_buckets=4, n_partitions=8)
+    return pipe.run(resume=False)
+
+
+def _triples_set(df):
+    return {
+        (r.conv_id, int(r.turn_idx), int(r.subj), r.pred, r.obj)
+        for r in df.collect()
+    }
+
+
+def test_triples_pr_gate(pipeline_result, oracle_result):
+    got = _triples_set(pipeline_result["triples"])
+    expected = oracle_result["triples"]
+    p, r = oracle.precision_recall(got, expected)
+    assert p >= 0.95 and r >= 0.95, f"precision={p:.4f} recall={r:.4f}"
+    # with shared primitives the match should in fact be exact
+    assert p == 1.0 and r == 1.0, f"precision={p:.4f} recall={r:.4f}"
+
+
+def test_mention_parity(spark, dataset, oracle_result):
+    import pandas as pd
+
+    kb_df = {
+        n: spark.read.parquet(os.path.join(dataset, f"{n}.parquet"))
+        for n in ("entities", "aliases", "label_stats")
+    }
+    conv = spark.read.parquet(os.path.join(dataset, "conversations.parquet"))
+    gaz_bc, _ = linking.build_broadcasts(spark, kb_df)
+    got = linking.detect_only(conv, gaz_bc, 8).toPandas()
+    got_set = {
+        (r.conv_id, int(r.turn_idx), int(r.begin), int(r.end), r.surface)
+        for r in got.itertuples(index=False)
+    }
+    exp = oracle_result["mentions"]
+    exp_set = {
+        (r.conv_id, int(r.turn_idx), int(r.begin), int(r.end), r.surface)
+        for r in exp.itertuples(index=False)
+    }
+    assert got_set == exp_set
+
+
+def test_label_stats_parity(pipeline_result, oracle_result):
+    got = pipeline_result["label_stats"].toPandas()
+    got_set = {
+        (r.label, int(r.entity_id), int(r.link_occ), int(r.link_doc),
+         int(r.text_occ), int(r.text_doc))
+        for r in got.itertuples(index=False)
+    }
+    exp_set = {
+        (r.label, int(r.entity_id), int(r.link_occ), int(r.link_doc),
+         int(r.text_occ), int(r.text_doc))
+        for r in oracle_result["label_stats"].itertuples(index=False)
+    }
+    assert got_set == exp_set
+
+
+def test_canonical_map_parity(pipeline_result, oracle_result):
+    got = {
+        int(r.entity_id): int(r.canonical_id)
+        for r in pipeline_result["canonical_map"].collect()
+    }
+    assert got == oracle_result["canonical_map"]
+    # chains from datagen: 90->91->0, 92->93->94->1, cycle 95<->96, 97->2
+    assert got[90] == 0 and got[91] == 0
+    assert got[92] == 1 and got[93] == 1 and got[94] == 1
+    assert got[95] == 95 and got[96] == 95  # cycle → one component, min id
+    assert got[97] == 2
+
+
+def test_sanity_no_violations(pipeline_result):
+    from grisp_spark.kg.stats import sanity_violations
+
+    assert sanity_violations(pipeline_result["label_stats"]).count() == 0
+
+
+def test_resume_identity(spark, dataset, pipeline_result):
+    """Delete part of the lineage (simulate a crash after bucket 0+1),
+    resume, and require the identical triple set."""
+    import shutil
+
+    baseline = _triples_set(pipeline_result["triples"])
+
+    out2 = OUT + "_resume"
+    shutil.rmtree(out2, ignore_errors=True)
+    pipe = KGPipeline(spark, dataset, out2, n_buckets=4, n_partitions=8)
+    # run only buckets 0,1 of the linking stage, then "crash"
+    conv = pipe.conversations()
+    from pyspark.sql import functions as F
+
+    conv_b = conv.withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(4)))
+    kb = pipe.kb()
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    for b in (0, 1):
+        part = conv_b.filter(F.col("bucket") == b).drop("bucket")
+        linked_b = linking.link_mentions(part, gaz_bc, evec_bc, 8).withColumn(
+            "bucket", F.lit(b)
+        )
+        linked_b.write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(out2, "linked")
+        )
+        pipe.lineage.record("linked", b, 0, 0, 0)
+
+    # resume completes buckets 2,3 and the downstream stages
+    result = pipe.run(resume=True)
+    assert _triples_set(result["triples"]) == baseline
