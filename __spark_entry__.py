@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from grisp_spark import queries_relational  # noqa: E402
+from grisp_spark import queries_relational, queries_traindata  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,10 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(queries_relational.QUERIES)
+    out.update(queries_traindata.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(queries_relational.ORACLES)
+    out.update(queries_traindata.ORACLES)
     return out

@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is md5-based so results are engine-portable (the DuckDB
+oracle computes identical signatures). Every operator is pure
+DataFrame API — shingling, minhashing, banding, and pair generation
+are JVM-side expressions (no Python UDFs anywhere in this module).
+
+Scale notes (100 TB):
+- exact: one hash-shuffle on the text digest; map-side partial agg
+  makes the shuffle carry only (digest, partial count, partial min).
+- minhash-LSH: signatures are embarrassingly parallel; the only
+  shuffle is the band-key self-join. Band keys are md5s → uniformly
+  distributed, no skew. Pair verification (jaccard) touches only
+  candidates, never the n² space.
+- ngram-jaccard: the shingle self-join is the skew point (a hot
+  shingle appears in many docs) — ``jaccard_pairs`` drops shingles
+  above a document-frequency cap, the standard scalable mitigation
+  (same spirit as the reference's row caps,
+  PageLinkSummaryStep.java:112-114).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+BAND_ROWS = 2
+SHINGLE_N = 3
+SIMHASH_BITS = 32
+HOT_SHINGLE_DF_CAP = 1000
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _shingles(tok_col, n: int = SHINGLE_N):
+    """Distinct n-token shingles, docs shorter than n excluded."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok_col) - n),
+            lambda i: F.array_join(F.slice(tok_col, i + 1, n), " "),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one keeper (min doc_id) per distinct
+    text digest + group size."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("group_size"))
+        .orderBy("keeper")
+    )
+
+
+def shingle_table(docs: DataFrame) -> DataFrame:
+    toks = docs.select("doc_id", _tokens().alias("w"))
+    return (
+        toks.filter(F.size("w") >= SHINGLE_N)
+        .select("doc_id", F.explode(_shingles(F.col("w"))).alias("shingle"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, seed, minhash): minhash_s = min over shingles of
+    md5(s || ':' || shingle) — lexicographic min over hex digests,
+    identical in any engine with md5."""
+    toks = docs.select("doc_id", _tokens().alias("w")).filter(
+        F.size("w") >= SHINGLE_N
+    )
+    sh = toks.select("doc_id", _shingles(F.col("w")).alias("shingles"))
+    sigs = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda s: F.array_min(
+                    F.transform(
+                        F.col("shingles"),
+                        lambda x: F.md5(F.concat(s.cast("string"), F.lit(":"), x)),
+                    )
+                ),
+            )
+        ).alias("seed", "minhash"),
+    )
+    return sigs
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n_hashes: int = N_MINHASH, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """MinHash banding: docs sharing any full band of signature rows
+    become a candidate pair. Self-join on (band, band_key) — band keys
+    are hashes, uniformly spread, so the shuffle has no skew."""
+    sigs = minhash_signatures(docs, n_hashes)
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("minhash")), "|")
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.1, df_cap: int = HOT_SHINGLE_DF_CAP
+) -> DataFrame:
+    """Exact n-gram Jaccard over shingle sets: self-join on shared
+    shingles, |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Hot shingles
+    (document frequency > df_cap) are dropped before the join — the
+    skew guard that keeps the join linear at corpus scale."""
+    sh = shingle_table(docs)
+    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= df_cap
+    )
+    sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Token-weighted SimHash: bit j of md5(token) votes ±1 weighted by
+    the token's occurrence count; signature bit = vote sum > 0. Hex
+    digit → int via instr('0123456789abcdef', d) − 1 (portable).
+
+    Fully relational: explode tokens → per-(doc, token) counts →
+    explode bit positions → weighted vote agg → bit reassembly."""
+    tok_counts = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5("token"))
+    )
+    bits_df = tok_counts.select(
+        "doc_id",
+        "cnt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: (
+                    F.floor(
+                        (
+                            F.instr(
+                                F.lit("0123456789abcdef"),
+                                F.substring(F.col("h"), (j / F.lit(4)).cast("int") + 1, 1),
+                            )
+                            - 1
+                        )
+                        / F.pow(F.lit(2), 3 - F.pmod(j, F.lit(4)))
+                    )
+                    % 2
+                ).cast("int"),
+            )
+        ).alias("pos", "bit"),
+    )
+    votes = bits_df.groupBy("doc_id", "pos").agg(
+        F.sum(
+            F.when(F.col("bit") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias("vote")
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vote") > 0, F.pow(F.lit(2), F.col("pos")).cast("long")
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )

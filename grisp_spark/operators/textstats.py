@@ -1,0 +1,85 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting. All pure JVM-side expressions —
+whole-stage-codegen friendly, no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+FP_MOD = 1_000_000_007
+
+
+def _tokens(col: str = "text"):
+    return F.filter(F.split(F.col(col), r"\s+"), lambda t: t != "")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-free heuristic language ID: stopword ratio over
+    whitespace tokens (an honest stand-in for a fastText model — the
+    classifier slot is this column)."""
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop / F.size(toks)).alias("stopword_ratio"),
+        F.when(n_stop / F.size(toks) >= 0.02, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword quality features + a composite
+    score — the standard pre-training quality-filter shape."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    avg_tok_len = (n_chars - (n_tok - 1)) / n_tok
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (1 - punct / F.greatest(n_chars, F.lit(1))) * 0.4
+        + F.least(n_stop / F.greatest(n_tok, F.lit(1)) * 10, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        punct.alias("n_punct"),
+        avg_tok_len.alias("avg_token_len"),
+        score.alias("quality"),
+    ).orderBy("doc_id")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count
+    (letters / digits / single punctuation — the pre-tokenizer split
+    most BPE vocabularies assume)."""
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE), 0)).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over tokens:
+    acc ← (acc·31 + ascii(token[0]) + len(token)) mod 1e9+7.
+    Sequential fold — engine-portable; a locality-sensitive-ish cheap
+    doc signature for shard-level bookkeeping."""
+    toks = _tokens()
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * 31 + F.ascii(t) + F.length(t), F.lit(FP_MOD)
+        ),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

@@ -1,0 +1,307 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis /
+multimodal) with DuckDB oracles. Hashing and float folds are
+engine-portable by construction (md5 + sequential list folds) so the
+oracle comparison is exact — see operators/{dedup,similarity,
+textstats,multimodal}.py for the scale design notes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grisp_spark.operators import dedup, multimodal, similarity, textstats
+from grisp_spark.sources.testdata import load_table
+
+
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def dd02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "seed"
+    )
+
+
+def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def dd04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def dd06_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
+
+
+def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.topk_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10, dim=64
+    )
+
+
+def ss02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.topk_lsh(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5, dim=64
+    )
+
+
+def ta01_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def ta02_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def ta03_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def ta04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def mm01_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_metadata(multimodal.attach_payload(docs)).orderBy(
+        "doc_id"
+    )
+
+
+def mm02_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (frame-hash stub has no clean SQL equivalent —
+    the UDTF plumbing is the thing under test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_payload(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+_SHINGLES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i : i + 2], ' ') AS shingle
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+        WHERE len(w) >= 3
+    )
+"""
+
+_SIG = f"""
+    {_SHINGLES},
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+        FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+        GROUP BY doc_id, seed
+    )
+"""
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+ORACLES: dict[str, str] = {
+    "dd01_exact_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+               count(*) AS group_size
+        FROM documents GROUP BY 1 ORDER BY keeper
+    """,
+    "dd02_minhash_signatures": f"""
+        WITH {_SIG}
+        SELECT doc_id, CAST(seed AS INTEGER) AS seed, minhash
+        FROM sig ORDER BY doc_id, seed
+    """,
+    "dd03_minhash_lsh_pairs": f"""
+        WITH {_SIG},
+        bands AS (
+            SELECT doc_id, seed // 2 AS band,
+                   md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+            FROM sig GROUP BY doc_id, seed // 2
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+    "dd04_ngram_jaccard": f"""
+        WITH {_SHINGLES},
+        df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+        shr AS (SELECT sh.* FROM sh JOIN df USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shr a JOIN shr b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
+        ORDER BY doc_a, doc_b
+    """,
+    "dd05_simhash": """
+        WITH tok AS (
+            SELECT doc_id, token, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            WHERE token <> '' GROUP BY doc_id, token
+        ),
+        bits AS (
+            SELECT doc_id, cnt, j AS pos,
+                   CAST(floor((instr('0123456789abcdef',
+                                     substr(md5(token), (j // 4) + 1, 1)) - 1)
+                              / pow(2, 3 - (j % 4))) AS INTEGER) % 2 AS bit
+            FROM tok, UNNEST(generate_series(0, 31)) t(j)
+        ),
+        votes AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN bit = 1 THEN cnt ELSE -cnt END) AS vote
+            FROM bits GROUP BY doc_id, pos
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN vote > 0 THEN pow(2, pos) ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+    "dd06_embed_neardup": f"""
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               {_cos('a.embedding', 'b.embedding')} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+        ORDER BY va, vb
+    """,
+    "ss01_cosine_topk": f"""
+        WITH scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   {_cos('q.embedding', 'c.embedding')} AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+        ), ranked AS (
+            SELECT q_id, c_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id ASC) AS rank
+            FROM scored
+        )
+        SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+    """,
+    "ss02_lsh_ann": f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding,
+                   array_to_string(list_transform(range(1, 9),
+                       i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
+                     AS bucket
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   {_cos('q.embedding', 'c.embedding')} AS cos
+            FROM bucketed q JOIN bucketed c
+              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+        ), ranked AS (
+            SELECT q_id, c_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id ASC) AS rank
+            FROM scored
+        )
+        SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    "ta01_lang_id": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> list_contains(
+                       ['the','a','and','of','to','in','is','on','for','with'],
+                       lower(x)))) AS n_stopwords
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(n_stopwords AS INTEGER) AS n_stopwords,
+               CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+               CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.02
+                    THEN 'en' ELSE 'unknown' END AS lang_pred
+        FROM s ORDER BY doc_id
+    """,
+    "ta02_quality": """
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                     AS punct
+            FROM documents
+        ), s AS (
+            SELECT doc_id, len(toks) AS n_tok, n_chars, punct,
+                   len(list_filter(toks, x -> list_contains(
+                       ['the','a','and','of','to','in','is','on','for','with'],
+                       lower(x)))) AS n_stop
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tokens,
+               CAST(punct AS INTEGER) AS n_punct,
+               CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS avg_token_len,
+               least(n_tok / 50.0, 1.0) * 0.4
+                 + (1 - CAST(punct AS DOUBLE) / greatest(n_chars, 1)) * 0.4
+                 + least(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) * 10, 1.0) * 0.2
+                 AS quality
+        FROM s ORDER BY doc_id
+    """,
+    "ta03_token_counts": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "ta04_fingerprint": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks, x -> CAST(ascii(x) + length(x) AS BIGINT))),
+                   (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+        FROM t ORDER BY doc_id
+    """,
+    "mm01_decode_metadata": """
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_bytes,
+               CAST(ascii(text) % 64 + 1 AS INTEGER) AS width,
+               CAST(length(text) % 64 + 1 AS INTEGER) AS height,
+               'fake' AS format
+        FROM documents ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if callable(fn) and name[:2] in ("dd", "ss", "ta", "mm") and "_" in name
+}
