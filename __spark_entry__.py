@@ -17,18 +17,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from grisp_spark import queries_relational, queries_traindata  # noqa: E402
+from grisp_spark import queries_kg, queries_relational, queries_traindata  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return queries_relational.q03_broadcast_dim_join(spark, "/root/testdata/sf0.001")
+    """Flagship: the full KG-construction pipeline (gazetteer linking →
+    canonicalization → turn-window triples) over transcripts derived
+    from /root/testdata/sf0.001."""
+    return queries_kg.kg06_triples_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(queries_relational.QUERIES)
     out.update(queries_traindata.QUERIES)
+    out.update(queries_kg.QUERIES)
     return out
 
 
@@ -36,4 +39,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(queries_relational.ORACLES)
     out.update(queries_traindata.ORACLES)
+    out.update(queries_kg.ORACLES)
     return out

@@ -1,0 +1,287 @@
+"""KG-construction queries over the derived transcript table, each
+mirroring a grisp aggregate with a DuckDB oracle over the same
+deterministic derivation (sources/testdata.DERIVE_CONVERSATIONS_SQL).
+
+kg01  label text-statistics (A3: LabelOccurrencesStep.java:153-239)
+kg02  label→sense statistics with O1 ordering (A2 + DumpExtractor.java:930-944)
+kg03  isPrimary + per-sense label inversion (W1/A7: PageLabelStep.java:80-134)
+kg04  co-occurrence edge extraction per turn (LabelSensesStep.java:305-310)
+kg05  capped adjacency summaries (A5/O4: PageLinkSummaryStep.java:78-119)
+kg06  full KG pipeline flagship over derived transcripts (rows-only)
+
+"Label" here is a unigram from the corpus's own vocabulary (the
+self-bootstrapped gazetteer, SURVEY.md §7 stage 3); "sense" is the
+role context it links into — small stand-ins with the identical
+aggregation shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from grisp_spark.sources.testdata import DERIVE_CONVERSATIONS_SQL, derive_conversations
+
+MIN_OCC = 10
+ADJ_CAP = 5
+
+
+def _turn_tokens(conv: DataFrame) -> DataFrame:
+    return conv.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "pos", "token"
+        ),
+    )
+
+
+def kg01_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_occ / text_doc per label over 1- and 2-grams (A3: count per
+    doc then sum ≡ count + count_distinct(conv))."""
+    conv = derive_conversations(spark, sf_dir)
+    toks = conv.select(
+        "conv_id", F.filter(F.split("text", " "), lambda t: t != "").alias("w")
+    )
+    unigrams = toks.select("conv_id", F.explode("w").alias("label"))
+    bigrams = toks.filter(F.size("w") >= 2).select(
+        "conv_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 2)),
+            )
+        ).alias("label"),
+    )
+    grams = unigrams.unionByName(bigrams)
+    return (
+        grams.groupBy("label")
+        .agg(
+            F.count("*").alias("text_occ"),
+            F.countDistinct("conv_id").alias("text_doc"),
+        )
+        .filter(F.col("text_occ") >= MIN_OCC)
+        .orderBy("label")
+    )
+
+
+def kg02_label_senses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (label, sense) link counts with the O1 sense ordering rank
+    (link_occ desc, link_doc desc, sense asc)."""
+    conv = derive_conversations(spark, sf_dir)
+    toks = _turn_tokens(conv)
+    senses = toks.groupBy(F.col("token").alias("label"), F.col("role").alias("sense")).agg(
+        F.count("*").alias("link_occ"),
+        F.countDistinct("conv_id").alias("link_doc"),
+    )
+    w = W.partitionBy("label").orderBy(
+        F.col("link_occ").desc(), F.col("link_doc").desc(), F.col("sense").asc()
+    )
+    return (
+        senses.withColumn("sense_rank", F.row_number().over(w))
+        .filter(F.col("link_occ") >= MIN_OCC)
+        .orderBy("label", "sense_rank")
+    )
+
+
+def kg03_entity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 inversion with W1 isPrimary: per sense, its top-10 labels by
+    (link_occ desc, label asc); is_primary marks labels whose top sense
+    is this one."""
+    conv = derive_conversations(spark, sf_dir)
+    toks = _turn_tokens(conv)
+    senses = toks.groupBy(F.col("token").alias("label"), F.col("role").alias("sense")).agg(
+        F.count("*").alias("link_occ")
+    )
+    w_label = W.partitionBy("label").orderBy(
+        F.col("link_occ").desc(), F.col("sense").asc()
+    )
+    flagged = senses.withColumn("is_primary", F.row_number().over(w_label) == 1)
+    w_sense = W.partitionBy("sense").orderBy(
+        F.col("link_occ").desc(), F.col("label").asc()
+    )
+    return (
+        flagged.withColumn("rn", F.row_number().over(w_sense))
+        .filter(F.col("rn") <= 10)
+        .select("sense", "label", "link_occ", "is_primary", "rn")
+        .orderBy("sense", "rn")
+    )
+
+
+def kg04_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed co-occurrence edges (a < b) between long
+    tokens (≥6 chars) within a turn + global support counts — the
+    page-link edge build (LabelSensesStep.java:305-310, A9 distinct)."""
+    conv = derive_conversations(spark, sf_dir)
+    toks = _turn_tokens(conv).filter(F.length("token") >= 6)
+    per_turn = toks.groupBy("conv_id", "turn_idx").agg(
+        F.array_sort(F.collect_set("token")).alias("ents")
+    )
+    pairs = (
+        per_turn.select(
+            "conv_id", F.explode("ents").alias("src"), F.col("ents").alias("e2")
+        )
+        .select("conv_id", "src", F.explode("e2").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(
+            F.count("*").alias("support"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .filter(F.col("support") >= 5)
+        .orderBy("src", "dst")
+    )
+
+
+def kg05_adjacency_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/O4: per-node sorted out-neighbor list with a deterministic
+    cap + exact degree."""
+    edges = kg04_cooccurrence_edges(spark, sf_dir)
+    return (
+        edges.groupBy("src")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("dst")), 1, ADJ_CAP).alias("out_adj"),
+            F.countDistinct("dst").alias("degree"),
+        )
+        .orderBy("src")
+    )
+
+
+def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full KG pipeline over derived transcripts with a
+    self-bootstrapped KB: gazetteer = frequent long tokens, entities
+    numbered by label order, priors from corpus counts, context
+    scoring + canonicalization + turn-window triples. Rows-only check
+    (numpy context scoring isn't SQL-expressible); every constituent
+    stage has its own oracle (kg01-kg05, q13)."""
+    from grisp_spark.kg import canonicalize, linking, triples as triples_mod
+
+    conv = derive_conversations(spark, sf_dir)
+    toks = _turn_tokens(conv).filter(F.length("token") >= 6)
+    vocab = toks.groupBy("token").agg(
+        F.count("*").alias("occ"), F.countDistinct("conv_id").alias("doc")
+    ).filter(F.col("occ") >= MIN_OCC)
+    # deterministic hash ids — no global-ordering window (which would
+    # funnel the vocabulary through a single partition)
+    entities = vocab.select(
+        F.xxhash64("token").alias("entity_id"),
+        F.initcap("token").alias("canonical_name"),
+        F.lit("article").alias("entity_type"),
+        F.array(F.col("token")).alias("context_vocab"),
+        F.lit(None).cast("long").alias("redirect_to"),
+        F.col("occ"),
+        F.col("doc"),
+    )
+    label_stats = entities.select(
+        F.col("canonical_name").alias("label"),
+        "entity_id",
+        F.col("occ").alias("link_occ"),
+        F.col("doc").alias("link_doc"),
+        F.lit(True).alias("from_title"),
+        F.lit(False).alias("from_redirect"),
+    )
+    kb = {"entities": entities, "label_stats": label_stats}
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    linked = linking.link_mentions(conv, gaz_bc, evec_bc)
+    canon = canonicalize.canonical_map(entities)
+    linked_c = canonicalize.rewrite_linked(linked, canon)
+    return triples_mod.extract_triples(conv, linked_c)
+
+
+_BASE = f"WITH conv AS ({DERIVE_CONVERSATIONS_SQL})"
+
+_TURN_TOKENS = """
+    toks AS (
+        SELECT conv_id, turn_idx, role, token
+        FROM (SELECT conv_id, turn_idx, role,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS token
+              FROM conv)
+    )
+"""
+
+ORACLES: dict[str, str] = {
+    "kg01_label_stats": f"""
+        {_BASE},
+        w AS (SELECT conv_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM conv),
+        grams AS (
+            SELECT conv_id, unnest(w) AS label FROM w
+            UNION ALL
+            SELECT conv_id, array_to_string(w[i : i + 1], ' ') AS label
+            FROM w, UNNEST(generate_series(1, len(w) - 1)) t(i)
+            WHERE len(w) >= 2
+        )
+        SELECT label, count(*) AS text_occ, count(DISTINCT conv_id) AS text_doc
+        FROM grams GROUP BY label HAVING count(*) >= {MIN_OCC} ORDER BY label
+    """,
+    "kg02_label_senses": f"""
+        {_BASE}, {_TURN_TOKENS},
+        senses AS (
+            SELECT token AS label, role AS sense, count(*) AS link_occ,
+                   count(DISTINCT conv_id) AS link_doc
+            FROM toks GROUP BY token, role
+        )
+        SELECT label, sense, link_occ, link_doc,
+               CAST(row_number() OVER (PARTITION BY label
+                    ORDER BY link_occ DESC, link_doc DESC, sense ASC) AS INTEGER)
+                 AS sense_rank
+        FROM senses QUALIFY link_occ >= {MIN_OCC}
+        ORDER BY label, sense_rank
+    """,
+    "kg03_entity_labels": f"""
+        {_BASE}, {_TURN_TOKENS},
+        senses AS (
+            SELECT token AS label, role AS sense, count(*) AS link_occ
+            FROM toks GROUP BY token, role
+        ), flagged AS (
+            SELECT *, (row_number() OVER (PARTITION BY label
+                       ORDER BY link_occ DESC, sense ASC) = 1) AS is_primary
+            FROM senses
+        )
+        SELECT sense, label, link_occ, is_primary,
+               CAST(rn AS INTEGER) AS rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY sense
+                        ORDER BY link_occ DESC, label ASC) AS rn
+              FROM flagged)
+        WHERE rn <= 10 ORDER BY sense, rn
+    """,
+    "kg04_cooccurrence_edges": f"""
+        {_BASE}, {_TURN_TOKENS},
+        per_turn AS (
+            SELECT conv_id, turn_idx, list_sort(list_distinct(list(token))) AS ents
+            FROM toks WHERE length(token) >= 6 GROUP BY conv_id, turn_idx
+        ), pairs AS (
+            SELECT conv_id, a AS src, b AS dst
+            FROM per_turn, UNNEST(ents) t1(a), UNNEST(ents) t2(b)
+            WHERE a < b
+        )
+        SELECT src, dst, count(*) AS support,
+               count(DISTINCT conv_id) AS n_convs
+        FROM pairs GROUP BY src, dst HAVING count(*) >= 5 ORDER BY src, dst
+    """,
+    "kg05_adjacency_capped": f"""
+        {_BASE}, {_TURN_TOKENS},
+        per_turn AS (
+            SELECT conv_id, turn_idx, list_sort(list_distinct(list(token))) AS ents
+            FROM toks WHERE length(token) >= 6 GROUP BY conv_id, turn_idx
+        ), pairs AS (
+            SELECT conv_id, a AS src, b AS dst
+            FROM per_turn, UNNEST(ents) t1(a), UNNEST(ents) t2(b)
+            WHERE a < b
+        ), edges AS (
+            SELECT src, dst FROM pairs GROUP BY src, dst HAVING count(*) >= 5
+        )
+        SELECT src, list_sort(list_distinct(list(dst)))[1 : {ADJ_CAP}] AS out_adj,
+               count(DISTINCT dst) AS degree
+        FROM edges GROUP BY src ORDER BY src
+    """,
+}
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if callable(fn) and name.startswith("kg0")
+}
