@@ -219,15 +219,17 @@ def generate_conversations(
         conv_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
     # duplicate ~3% of texts into the following turn of the same conv
+    # (O(1) key lookup — the naive filter-per-row scan is O(n²))
+    key_to_idx = {
+        (r.conv_id, r.turn_idx): i
+        for i, r in enumerate(conversations.itertuples(index=False))
+    }
     dup_idx = conversations.sample(frac=0.03, random_state=seed + 2).index
     for i in dup_idx:
         r = conversations.loc[i]
-        nxt = conversations[
-            (conversations.conv_id == r.conv_id)
-            & (conversations.turn_idx == r.turn_idx + 1)
-        ].index
-        if len(nxt):
-            conversations.loc[nxt[0], "text"] = r.text
+        j = key_to_idx.get((r.conv_id, r.turn_idx + 1))
+        if j is not None:
+            conversations.loc[j, "text"] = r.text
     # shuffle physical order
     conversations = conversations.sample(frac=1.0, random_state=seed + 3).reset_index(
         drop=True

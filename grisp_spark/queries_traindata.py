@@ -103,18 +103,16 @@ _SIG = f"""
     )
 """
 
-_DOT = (
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
-    "(x, y) -> x + y)"
-)
+def _dot(a: str, b: str, dim: int = 64) -> str:
+    """Flat left-associated product sum — the exact addition order of
+    operators/similarity.dot, so doubles match Spark bit-for-bit."""
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    ) + ")"
 
 
 def _cos(a: str, b: str) -> str:
-    return (
-        f"({_DOT.format(a=a, b=b)} / "
-        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
-    )
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
 
 
 ORACLES: dict[str, str] = {
