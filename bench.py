@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "24000"))
 BENCH_DATA = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".data", f"bench_conv_{BENCH_CONVS}"
 )

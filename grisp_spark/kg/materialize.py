@@ -47,11 +47,16 @@ def adjacency(edges: DataFrame, cap: int = MAX_LINKS_PER_NODE) -> DataFrame:
             )
         ).alias("e")
     ).select("e.id", "e.nbr", "e.is_out")
+    # single collect_set (one shuffle); degree derived from the set —
+    # countDistinct alongside would double the exchanges
     return (
         dual.groupBy("id", "is_out")
-        .agg(
-            F.slice(F.array_sort(F.collect_set("nbr")), 1, cap).alias("neighbors"),
-            F.countDistinct("nbr").alias("degree"),
+        .agg(F.array_sort(F.collect_set("nbr")).alias("adj"))
+        .select(
+            "id",
+            "is_out",
+            F.slice("adj", 1, cap).alias("neighbors"),
+            F.size("adj").cast("long").alias("degree"),
         )
     )
 

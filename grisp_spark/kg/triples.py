@@ -38,6 +38,9 @@ def extract_triples(conversations: DataFrame, linked: DataFrame) -> DataFrame:
         "prev_ents",
         F.coalesce(F.lag("ents").over(w), F.array().cast("array<bigint>")),
     ).filter(F.size("ents") + F.size("prev_ents") > 0)
+    # three triple branches consume this frame — persist it or the
+    # full upstream (incl. the Arrow linking stage) recomputes 3x
+    turns = turns.persist()
 
     cur = turns.select(
         "conv_id", "turn_idx", "role", "tool", F.explode("ents").alias("subj")

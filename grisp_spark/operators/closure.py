@@ -51,11 +51,25 @@ def resolve_chains(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     return cur.select("src", F.col("dst").alias("terminal"))
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+DRIVER_CC_THRESHOLD = 2_000_000
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 20, driver_threshold: int = DRIVER_CC_THRESHOLD
+) -> DataFrame:
     """Undirected edges (src, dst) → (id, component) with component =
-    min node id in the component. Label propagation to fixpoint;
-    rounds bounded by graph diameter (swap in large-star/small-star
-    for web-scale diameters)."""
+    min node id in the component.
+
+    Equivalence graphs are usually broadcast-sized even when the
+    corpus is 100 TB (the reference's redirect set is ~40M rows,
+    RedirectCache.java:59) — below ``driver_threshold`` edges we
+    union-find on the driver in one pass, the same driver-side-cache
+    strategy grisp uses for redirects (DumpExtractor.java:325-344).
+    Above it, iterative min-label propagation to fixpoint; rounds
+    bounded by graph diameter (swap in large-star/small-star for
+    web-scale diameters)."""
+    if edges.limit(driver_threshold + 1).count() <= driver_threshold:
+        return _driver_union_find(edges)
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -88,3 +102,25 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         if changed == 0:
             break
     return nodes
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact same (id, component) contract, computed on the driver."""
+    spark = edges.sparkSession
+    pdf = edges.select("src", "dst").toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        ra, rb = find(int(s)), find(int(d))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in sorted(parent)]
+    return spark.createDataFrame(rows, "id long, component long")

@@ -139,11 +139,15 @@ def kg05_adjacency_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/O4: per-node sorted out-neighbor list with a deterministic
     cap + exact degree."""
     edges = kg04_cooccurrence_edges(spark, sf_dir)
+    # one collect_set feeds both outputs (countDistinct alongside
+    # would force a second exchange)
     return (
         edges.groupBy("src")
-        .agg(
-            F.slice(F.array_sort(F.collect_set("dst")), 1, ADJ_CAP).alias("out_adj"),
-            F.countDistinct("dst").alias("degree"),
+        .agg(F.array_sort(F.collect_set("dst")).alias("adj"))
+        .select(
+            "src",
+            F.slice("adj", 1, ADJ_CAP).alias("out_adj"),
+            F.size("adj").cast("long").alias("degree"),
         )
         .orderBy("src")
     )

@@ -163,11 +163,16 @@ def q08_adjacency_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference caps at 50,000 by arrival; we cap by sort order —
     documented deviation, SURVEY.md §7)."""
     ev = load_table(spark, sf_dir, "events")
+    # one collect_set feeds both the capped list and the degree —
+    # a separate countDistinct would force a second shuffle (Spark
+    # expands distinct aggregates into a two-exchange plan)
     return (
         ev.groupBy("user_id")
-        .agg(
-            F.slice(F.sort_array(F.collect_set("event_type")), 1, 3).alias("out_adj"),
-            F.countDistinct("event_type").alias("degree"),
+        .agg(F.sort_array(F.collect_set("event_type")).alias("adj"))
+        .select(
+            "user_id",
+            F.slice("adj", 1, 3).alias("out_adj"),
+            F.size("adj").cast("long").alias("degree"),
         )
         .orderBy("user_id")
     )

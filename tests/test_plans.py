@@ -1,0 +1,82 @@
+"""Physical-plan audits: the plan shapes that matter at 100 TB.
+
+- dimension joins must be broadcast (no shuffle of the fact side)
+- parquet scans must show pushed filters and pruned schemas
+- aggregations must be partial (map-side combine) before the shuffle
+- the linking stage must not shuffle after its repartition(conv_id)
+"""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_broadcast_dim_join_is_broadcast(spark, sf_dir):
+    df = entry_mod.queries()["q03_broadcast_dim_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan must not read more than the 3 needed columns
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_returnflag" in read_schema
+
+
+def test_partial_aggregation(spark, sf_dir):
+    df = entry_mod.queries()["q01_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    # partial + final hash aggregate around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    df = entry_mod.queries()["q04_semi_join"](spark, sf_dir)
+    assert "LeftSemi" in _plan(df)
+
+
+def test_linking_stage_single_shuffle(spark):
+    """The fused detect+link stage must shuffle exactly once (the
+    repartition by conv_id) — broadcast gazetteer means no join
+    exchanges."""
+    from grisp_spark.kg import datagen, linking
+
+    datagen.write_dataset("/root/repo/.data/plan_probe", seed=3, n_convs=10)
+    conv = spark.read.parquet("/root/repo/.data/plan_probe/conversations.parquet")
+    kb = {
+        n: spark.read.parquet(f"/root/repo/.data/plan_probe/{n}.parquet")
+        for n in ("entities", "aliases", "label_stats")
+    }
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    linked = linking.link_mentions(conv, gaz_bc, evec_bc, 8)
+    plan = _plan(linked)
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan
+
+
+def test_adjacency_single_shuffle(spark, sf_dir):
+    """A5 adjacency: one shuffle for the groupBy, nothing else."""
+    df = entry_mod.queries()["q08_adjacency_out"](spark, sf_dir)
+    plan = _plan(df)
+    # one hash-partition exchange for the agg (degree is derived from
+    # the collected set, not a second distinct aggregate) + one range
+    # exchange for the orderBy (presentation only)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("partial_collect_set") == 1
