@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from grisp_spark import queries_kg, queries_relational, queries_traindata  # noqa: E402
+from grisp_spark import (  # noqa: E402
+    queries_kg,
+    queries_relational,
+    queries_relational2,
+    queries_traindata,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(queries_relational.QUERIES)
+    out.update(queries_relational2.QUERIES)
     out.update(queries_traindata.QUERIES)
     out.update(queries_kg.QUERIES)
     return out
@@ -38,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(queries_relational.ORACLES)
+    out.update(queries_relational2.ORACLES)
     out.update(queries_traindata.ORACLES)
     out.update(queries_kg.ORACLES)
     return out

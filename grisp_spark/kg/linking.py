@@ -37,6 +37,19 @@ LINKED_SCHEMA = (
 # Executor-local memo for word vectors (deterministic → cache-safe).
 _WORD_VEC_CACHE: dict[str, np.ndarray] = {}
 
+# Executor-local first-token index cache (keyed by gazetteer object id;
+# broadcast values are one object per executor process).
+_IDX_CACHE: dict[int, dict[str, int]] = {}
+
+
+def _first_token_index(gaz: dict) -> dict[str, int]:
+    idx = _IDX_CACHE.get(id(gaz))
+    if idx is None:
+        idx = spec.build_first_token_index(gaz)
+        _IDX_CACHE.clear()
+        _IDX_CACHE[id(gaz)] = idx
+    return idx
+
 
 def _cached_word_vec(w: str) -> np.ndarray:
     v = _WORD_VEC_CACHE.get(w)
@@ -102,6 +115,7 @@ def link_mentions(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = gaz_bc.value
         evecs = evec_bc.value
+        idx = _first_token_index(gaz)
         for pdf in batches:
             out: dict[str, list] = {
                 "conv_id": [], "turn_idx": [], "role": [], "tool": [],
@@ -112,7 +126,7 @@ def link_mentions(
                 tokens = spec.tokenize(row.text or "")
                 if not tokens:
                     continue
-                found = spec.detect_mentions(tokens, gaz)
+                found = spec.detect_mentions(tokens, gaz, idx)
                 if not found:
                     continue
                 ctx_cache: dict[tuple[int, int], np.ndarray] = {}
@@ -157,11 +171,12 @@ def detect_only(conv: DataFrame, gaz_bc, n_partitions: int | None = None) -> Dat
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = gaz_bc.value
+        idx = _first_token_index(gaz)
         for pdf in batches:
             rows = {"conv_id": [], "turn_idx": [], "begin": [], "end": [], "surface": []}
             for row in pdf.itertuples(index=False):
                 tokens = spec.tokenize(row.text or "")
-                for begin, end, surface in spec.detect_mentions(tokens, gaz):
+                for begin, end, surface in spec.detect_mentions(tokens, gaz, idx):
                     rows["conv_id"].append(row.conv_id)
                     rows["turn_idx"].append(row.turn_idx)
                     rows["begin"].append(begin)

@@ -76,6 +76,7 @@ def run_oracle(
     conversations: pd.DataFrame, kb: dict[str, pd.DataFrame]
 ) -> dict[str, object]:
     gaz = build_gazetteer(kb)
+    idx = spec.build_first_token_index(gaz)
     canon = canonical_map(kb)
     evecs = entity_vectors(kb)
 
@@ -97,7 +98,7 @@ def run_oracle(
         if row.conv_id != prev_conv:
             prev_conv, prev_set = row.conv_id, set()
         tokens = spec.tokenize(row.text or "")
-        found = spec.detect_mentions(tokens, gaz)
+        found = spec.detect_mentions(tokens, gaz, idx)
         cur_set: set[int] = set()
         for begin, end, surface in found:
             mentions_rows.append((row.conv_id, row.turn_idx, begin, end, surface))

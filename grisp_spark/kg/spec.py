@@ -54,25 +54,49 @@ def tokenize(text: str) -> list[str]:
     return BOUNDARY_RE.findall(text)
 
 
+def build_first_token_index(gazetteer: dict) -> dict[str, int]:
+    """first-token (case-folded) → max ngram length starting with it.
+    One dict probe rejects a scan position instead of up to 15 joined
+    ngram probes — the vectorized-trie role from the north star (a
+    full trie buys little extra: surfaces are short)."""
+    idx: dict[str, int] = {}
+    for surface in gazetteer:
+        first = surface.split(" ", 1)[0].lower()
+        ln = surface.count(" ") + 1
+        if idx.get(first, 0) < ln:
+            idx[first] = ln
+    return idx
+
+
 def detect_mentions(
-    tokens: list[str], gazetteer: dict[str, int]
+    tokens: list[str],
+    gazetteer: dict,
+    first_token_index: dict[str, int] | None = None,
 ) -> list[tuple[int, int, str]]:
     """Greedy longest-match-first non-overlapping gazetteer scan.
 
-    ``gazetteer`` maps normalized surface → max-ngram-hint (unused per
-    key; the dict doubles as the membership set). Returns
+    ``gazetteer`` maps normalized surface → senses (the dict doubles
+    as the membership set). Returns
     (begin_token, end_token_exclusive, normalized_surface).
 
     Mirrors the reference's ngram loop (LabelOccurrencesStep.java:178-204)
     with the non-overlapping longest-match region rule of
-    util/Util.java:39-76.
+    util/Util.java:39-76. The first-token index is a pure pruning
+    structure — results are identical with or without it.
     """
     out: list[tuple[int, int, str]] = []
     n = len(tokens)
     i = 0
     while i < n:
+        if first_token_index is not None:
+            max_ln = first_token_index.get(tokens[i].lower(), 0)
+            if max_ln == 0:
+                i += 1
+                continue
+        else:
+            max_ln = MAX_LABEL_TOKENS
         matched = False
-        for ln in range(min(MAX_LABEL_TOKENS, n - i), 0, -1):
+        for ln in range(min(max_ln, MAX_LABEL_TOKENS, n - i), 0, -1):
             surface = normalize_title(" ".join(tokens[i : i + ln]))
             if len(surface) >= MAX_LABEL_CHARS:
                 continue

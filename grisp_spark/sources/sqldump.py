@@ -1,0 +1,66 @@
+"""SQL-dump / TQL / JSON-lines scans (grisp's Wikidata backbone,
+S3/S4/C5/C7/F7).
+
+The reference streams `*-langlinks.sql.gz` / `*-page_props.sql.gz` in
+8KB chunks with hand-rolled tuple splitting
+(ProcessWikiData.java:186-336, ProcessTranslation.java:70-180) and
+line-streams the 74GB wikidata JSON (ProcessWikiData.java:118-181).
+Here: ``spark.read.text`` (codecs decompress bz2/gz transparently),
+tuple extraction via ``regexp_extract_all``, field splitting via
+``from_csv`` with a quote option (handles quoted commas/escapes), and
+JSON ids via ``get_json_object`` — all JVM-side."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TUPLE_RE = r"\((\d+,'[^']*','[^']*(?:''[^']*)*')\)"
+
+
+def parse_insert_tuples(
+    lines: DataFrame, schema: str = "page_id LONG, lang STRING, title STRING"
+) -> DataFrame:
+    """INSERT INTO … VALUES (1,'fr','salut'),(2,'de','hallo'); →
+    typed rows. C5 tuple surgery as one regex + from_csv (quote=')."""
+    tuples = lines.filter(F.col("value").startswith("INSERT INTO")).select(
+        F.explode(F.regexp_extract_all("value", F.lit(TUPLE_RE), 1)).alias("t")
+    )
+    parsed = tuples.select(
+        F.from_csv("t", schema, {"quote": "'"}).alias("r")
+    ).select("r.*")
+    return parsed
+
+
+def langlinks(lines: DataFrame, whitelist: tuple[str, ...] = ("fr", "de", "en", "es", "it")) -> DataFrame:
+    """F7 language whitelist over parsed langlinks tuples
+    (ProcessTranslation.java:201-202)."""
+    return parse_insert_tuples(lines).filter(F.col("lang").isin(*whitelist))
+
+
+def wikidata_ids(lines: DataFrame) -> DataFrame:
+    """C7: one JSON entity per line → Q-id (findPath("id") analogue,
+    ProcessWikiData.java:149-154)."""
+    return (
+        lines.select(F.get_json_object("value", "$.id").alias("qid"))
+        .filter(F.col("qid").isNotNull() & F.col("qid").startswith("Q"))
+    )
+
+
+TQL_RE = (
+    r"^<([^>]+)>\s+<([^>]+)>\s+(?:<([^>]+)>|\"((?:[^\"\\]|\\.)*)\"[^\s]*)\s+<([^>]+)>\s*\.$"
+)
+
+
+def parse_tql(lines: DataFrame) -> DataFrame:
+    """S4 TQL (N-Quads) triple scan (ProcessInfoBoxes.java:86-225):
+    (subject, property, object-or-literal, graph)."""
+    return lines.select(
+        F.regexp_extract("value", TQL_RE, 1).alias("subject"),
+        F.regexp_extract("value", TQL_RE, 2).alias("property"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("value", TQL_RE, 3), F.lit("")),
+            F.regexp_extract("value", TQL_RE, 4),
+        ).alias("object"),
+        F.regexp_extract("value", TQL_RE, 5).alias("graph"),
+    ).filter(F.col("subject") != "")

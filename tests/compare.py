@@ -34,6 +34,8 @@ def _canon_cell(v):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if hasattr(v, "asDict"):  # pyspark Row (struct) ≙ duckdb dict
+        return _canon_cell(v.asDict())
     if isinstance(v, pd.Timestamp):
         return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
     return str(v)

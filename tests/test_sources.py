@@ -1,0 +1,138 @@
+"""Parser-source tests mirroring the reference's own test surface
+(DumpPageParserTest / DumpLinkParserTest / ProcessTranslationTest) on
+synthesized fixtures."""
+
+import os
+
+import pytest
+
+from grisp_spark.sources import sqldump, xml
+
+FIX = "/root/repo/.data/fixtures"
+
+
+@pytest.fixture(scope="module")
+def xml_file():
+    os.makedirs(FIX, exist_ok=True)
+    pages = """<mediawiki>
+<page>
+  <title>Apache Spark</title>
+  <ns>0</ns>
+  <id>100</id>
+  <revision><timestamp>2016-12-06T03:46:30Z</timestamp>
+  <text xml:space="preserve">Spark links to [[Hadoop]] and [[Delta Lake#History|the lake]].</text></revision>
+</page>
+<page>
+  <title>MapReduce</title>
+  <ns>0</ns>
+  <id>101</id>
+  <redirect title="Apache Hadoop" />
+  <revision><timestamp>2016-12-06T03:46:31Z</timestamp>
+  <text xml:space="preserve">#REDIRECT [[Apache Hadoop]]</text></revision>
+</page>
+<page>
+  <title>Category:Databases</title>
+  <ns>14</ns>
+  <id>102</id>
+  <revision><timestamp>2016-12-06T03:46:32Z</timestamp>
+  <text xml:space="preserve">category page</text></revision>
+</page>
+<page>
+  <title>Spark (disambiguation)</title>
+  <ns>0</ns>
+  <id>103</id>
+  <revision><timestamp>2016-12-06T03:46:33Z</timestamp>
+  <text xml:space="preserve">{{disambiguation}} * [[Apache Spark]] * [[Spark plug]]</text></revision>
+</page>
+<page>
+  <title>UserPage</title>
+  <ns>2</ns>
+  <id>104</id>
+  <revision><timestamp>2016-12-06T03:46:34Z</timestamp>
+  <text xml:space="preserve">should be dropped (wrong namespace)</text></revision>
+</page>
+</mediawiki>"""
+    p = os.path.join(FIX, "dump.xml")
+    with open(p, "w") as f:
+        f.write(pages)
+    return p
+
+
+def test_page_records_namespace_filter(spark, xml_file):
+    pages = xml.page_records(spark, xml_file)
+    got = {r.page_id: (r.title, r.ns) for r in pages.collect()}
+    assert set(got) == {100, 101, 102, 103}  # ns=2 dropped (F1)
+    assert got[102] == ("Category:Databases", 14)
+
+
+def test_classify_pages(spark, xml_file):
+    typed = xml.classify_pages(xml.page_records(spark, xml_file))
+    got = {r.page_id: r.page_type for r in typed.collect()}
+    assert got == {
+        100: "article",
+        101: "redirect",
+        102: "category",
+        103: "disambiguation",
+    }
+
+
+def test_timestamp_parse(spark, xml_file):
+    pages = xml.page_records(spark, xml_file)
+    ts = {r.page_id: str(r.ts) for r in pages.collect()}
+    assert ts[100] == "2016-12-06 03:46:30"
+
+
+def test_parse_links(spark, xml_file):
+    pages = xml.page_records(spark, xml_file)
+    links = xml.parse_links(pages.filter("page_id = 100"))
+    got = {(r.target_title, r.section, r.anchor) for r in links.collect()}
+    assert got == {
+        ("Hadoop", "", "Hadoop"),
+        ("Delta Lake", "History", "the lake"),
+    }
+
+
+def test_sql_insert_tuples(spark):
+    os.makedirs(FIX, exist_ok=True)
+    p = os.path.join(FIX, "langlinks.sql")
+    with open(p, "w") as f:
+        f.write(
+            "-- MySQL dump\n"
+            "INSERT INTO `langlinks` VALUES (142236,'fr','salut les nuls'),"
+            "(7,'xx','drop me'),(9,'de','hallo, welt');\n"
+        )
+    lines = spark.read.text(p)
+    got = {
+        (r.page_id, r.lang, r.title)
+        for r in sqldump.langlinks(lines).collect()
+    }
+    # reference fixture: ProcessTranslationTest.java:23-31 expects
+    # 142236|fr|salut les nuls and non-whitelisted lang dropped
+    assert got == {(142236, "fr", "salut les nuls"), (9, "de", "hallo, welt")}
+
+
+def test_wikidata_json_ids(spark):
+    p = os.path.join(FIX, "wikidata.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id":"Q42","type":"item"}\n{"id":"P31"}\n{"id":"Q1"}\n')
+    lines = spark.read.text(p)
+    got = {r.qid for r in sqldump.wikidata_ids(lines).collect()}
+    assert got == {"Q42", "Q1"}
+
+
+def test_parse_tql(spark):
+    p = os.path.join(FIX, "infobox.tql")
+    with open(p, "w") as f:
+        f.write(
+            '<http://db.org/Paris> <http://db.org/prop/country> <http://db.org/France> <http://g> .\n'
+            '<http://db.org/Paris> <http://db.org/prop/population> "2206488" <http://g> .\n'
+            "malformed line\n"
+        )
+    lines = spark.read.text(p)
+    got = {
+        (r.subject, r.property, r.object) for r in sqldump.parse_tql(lines).collect()
+    }
+    assert got == {
+        ("http://db.org/Paris", "http://db.org/prop/country", "http://db.org/France"),
+        ("http://db.org/Paris", "http://db.org/prop/population", "2206488"),
+    }
