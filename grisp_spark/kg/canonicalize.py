@@ -39,6 +39,16 @@ def canonical_map(entities: DataFrame) -> DataFrame:
     )
 
 
+def canonical_map_broadcast(spark, entities: DataFrame):
+    """{entity_id: canonical_id} as a broadcast dict for the fused
+    map-side path (linking.link_and_extract)."""
+    pdf = canonical_map(entities).toPandas()
+    mapping = {
+        int(e): int(c) for e, c in zip(pdf["entity_id"], pdf["canonical_id"])
+    }
+    return spark.sparkContext.broadcast(mapping)
+
+
 def rewrite_linked(linked: DataFrame, canon: DataFrame) -> DataFrame:
     """Broadcast-join the canonical map onto linked mentions — the map
     is |entities|-sized (small side by construction)."""

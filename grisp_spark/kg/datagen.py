@@ -240,7 +240,12 @@ def generate_conversations(
 
 
 def write_dataset(out_dir: str, seed: int = 42, n_convs: int = 200) -> dict[str, str]:
-    """Write the full synthetic dataset as parquet; returns paths."""
+    """Write the full synthetic dataset as parquet; returns paths.
+
+    Conversations are sharded into multiple part files (~5k convs
+    each): a single parquet file is one Spark input split, which
+    would serialize the scan + exchange map side of every downstream
+    job regardless of core count."""
     os.makedirs(out_dir, exist_ok=True)
     kb = generate_kb(seed)
     conv, gold = generate_conversations(seed, n_convs, kb)
@@ -250,6 +255,18 @@ def write_dataset(out_dir: str, seed: int = 42, n_convs: int = 200) -> dict[str,
         for c in pdf.columns:  # Spark can't read NANOS parquet timestamps
             if str(pdf[c].dtype).startswith("datetime64"):
                 pdf[c] = pdf[c].astype("datetime64[us]")
-        pdf.to_parquet(p, index=False)
+        if name == "conversations" and n_convs > 5000:
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+            os.makedirs(p, exist_ok=True)
+            n_shards = min(64, (n_convs + 4999) // 5000)
+            shard = pdf.index % n_shards  # physical order is shuffled already
+            for s in range(n_shards):
+                pdf[shard == s].to_parquet(
+                    os.path.join(p, f"part-{s:04d}.parquet"), index=False
+                )
+        else:
+            pdf.to_parquet(p, index=False)
         paths[name] = p
     return paths

@@ -164,6 +164,97 @@ def link_mentions(
     return laid_out.mapInPandas(run, schema=LINKED_SCHEMA)
 
 
+TRIPLES_SCHEMA = "conv_id string, turn_idx int, subj long, pred string, obj string"
+
+
+def link_and_extract(
+    conv: DataFrame,
+    gaz_bc,
+    evec_bc,
+    canon_bc,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Fused map-side pipeline: detection + linking + canonicalization
+    + per-turn-window triple extraction in ONE Arrow pass.
+
+    The repartition(conv_id) + sortWithinPartitions(turn_idx) layout
+    guarantees each conversation arrives contiguous and turn-ordered
+    inside its partition, so the 2-turn window is a running carry
+    (prev conv_id / prev entity set) held ACROSS pandas batches of the
+    same partition — no groupBy, no window shuffle, no explode. After
+    the single layout shuffle, triple extraction is embarrassingly
+    parallel, which is grisp's own architecture (everything map-side
+    against broadcast caches, README.md:9) and the reason the job
+    scales linearly at 10^12 turns.
+
+    Semantics are bit-identical to the staged path
+    (link_mentions → canonicalize.rewrite_linked →
+    triples.extract_triples); tests assert all three agree with the
+    reference oracle. ``canon_bc`` broadcasts {entity_id:
+    canonical_id} from canonicalize.canonical_map."""
+    n_partitions = n_partitions or conv.sparkSession.sparkContext.defaultParallelism
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = gaz_bc.value
+        evecs = evec_bc.value
+        canon = canon_bc.value
+        idx = _first_token_index(gaz)
+        prev_conv: str | None = None
+        prev_set: set[int] = set()
+        for pdf in batches:
+            out: dict[str, list] = {
+                "conv_id": [], "turn_idx": [], "subj": [], "pred": [], "obj": [],
+            }
+
+            def emit(conv_id, turn_idx, subj, pred, obj):
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(turn_idx)
+                out["subj"].append(subj)
+                out["pred"].append(pred)
+                out["obj"].append(obj)
+
+            for row in pdf.itertuples(index=False):
+                if row.conv_id != prev_conv:
+                    prev_conv, prev_set = row.conv_id, set()
+                tokens = spec.tokenize(row.text or "")
+                cur: set[int] = set()
+                if tokens:
+                    for begin, end, surface in spec.detect_mentions(tokens, gaz, idx):
+                        senses = gaz[surface]
+                        total = sum(s[1] for s in senses)
+                        ctx = _centroid_cached(tokens[:begin] + tokens[end:])
+                        cands = [
+                            (
+                                eid,
+                                spec.score_candidate(
+                                    occ / total if total else 0.0,
+                                    spec.cosine(ctx, evecs[eid]),
+                                ),
+                            )
+                            for eid, occ, _doc in senses
+                        ]
+                        picked = spec.pick_sense(cands)
+                        if picked is not None:
+                            cur.add(canon.get(picked[0], picked[0]))
+                tool = None if (row.tool is None or row.tool != row.tool) else row.tool
+                for e in sorted(cur):
+                    emit(row.conv_id, row.turn_idx, e, "mentioned_by", row.role)
+                    if tool is not None:
+                        emit(row.conv_id, row.turn_idx, e, "used_with_tool", tool)
+                window = sorted(prev_set | cur)
+                for i, a in enumerate(window):
+                    for b in window[i + 1 :]:
+                        if a in cur or b in cur:
+                            emit(row.conv_id, row.turn_idx, a, "co_occurs_with", str(b))
+                prev_set = cur
+            yield pd.DataFrame(out)
+
+    laid_out = conv.repartition(n_partitions, "conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+    return laid_out.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
 def detect_only(conv: DataFrame, gaz_bc, n_partitions: int | None = None) -> DataFrame:
     """Detection without linking (text-occurrence side, A3 analogue) —
     used by the stats stage and unit tests."""

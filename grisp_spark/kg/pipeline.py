@@ -158,7 +158,7 @@ class KGPipeline:
         )
         trip = self._stage(
             "triples",
-            lambda: triples_mod.extract_triples(self.conversations(), linked_canon),
+            lambda: triples_mod.extract_triples(linked_canon),
             resume,
         )
         lstats = self._stage(

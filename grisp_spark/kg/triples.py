@@ -10,10 +10,22 @@ transcripts:
   W_t = E_{t-1} ∪ E_t, emitted at turn t iff at least one side is in
   E_t (so a pair fully inside E_{t-1} was already emitted at t-1)
 
-All JVM-side: collect_set per turn, lag window for E_{t-1}, double
-explode for pairs — no Python in this stage. The lag window runs on
-the (conv_id, turn_idx) layout the linking stage already produced, so
-AQE sees a pre-shuffled input."""
+All JVM-side: collect_set per turn, lag window, double explode — no
+Python in this stage, and no redundant work:
+
+- turns with no linked mentions emit nothing and contribute an empty
+  E_{t-1}, so the stage runs on linked mentions alone — the previous
+  design joined a distinct()-ed spine of ALL conversations (a full
+  shuffle of the corpus) just to model empty turns; a turn-continuity
+  check on the lag (prev row must be turn_idx−1) gives identical
+  semantics for free.
+- every branch emits rows unique by construction (ents are sets; the
+  window array is a sorted set; preds are disjoint across branches),
+  so there is NO final distinct() — that was an 11s full-output
+  shuffle doing nothing.
+- the shared ``turns`` frame is persisted: three branches consume it,
+  and without the persist the Arrow linking stage upstream recomputes
+  three times."""
 
 from __future__ import annotations
 
@@ -21,26 +33,23 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def extract_triples(conversations: DataFrame, linked: DataFrame) -> DataFrame:
-    """conversations supplies the full turn spine (turns without
-    mentions still advance the window — E_{t-1} of the next turn is
-    empty); linked supplies per-turn canonical entity sets."""
+def extract_triples(linked: DataFrame) -> DataFrame:
+    """linked mentions (conv_id, turn_idx, role, tool, canonical_id)
+    → triples (conv_id, turn_idx, subj, pred, obj)."""
+    empty = F.array().cast("array<bigint>")
     per_turn = linked.groupBy("conv_id", "turn_idx").agg(
-        F.array_sort(F.collect_set("canonical_id")).alias("ents")
-    )
-    spine = conversations.select("conv_id", "turn_idx", "role", "tool").distinct()
-    turns = (
-        spine.join(per_turn, ["conv_id", "turn_idx"], "left")
-        .withColumn("ents", F.coalesce("ents", F.array().cast("array<bigint>")))
+        F.array_sort(F.collect_set("canonical_id")).alias("ents"),
+        F.first("role").alias("role"),
+        F.first("tool").alias("tool"),
     )
     w = W.partitionBy("conv_id").orderBy("turn_idx")
-    turns = turns.withColumn(
+    turns = per_turn.withColumn(
         "prev_ents",
-        F.coalesce(F.lag("ents").over(w), F.array().cast("array<bigint>")),
-    ).filter(F.size("ents") + F.size("prev_ents") > 0)
-    # three triple branches consume this frame — persist it or the
-    # full upstream (incl. the Arrow linking stage) recomputes 3x
-    turns = turns.persist()
+        F.when(
+            F.lag("turn_idx").over(w) == F.col("turn_idx") - 1, F.lag("ents").over(w)
+        ).otherwise(empty),
+    )
+    turns = turns.withColumn("prev_ents", F.coalesce("prev_ents", empty)).persist()
 
     cur = turns.select(
         "conv_id", "turn_idx", "role", "tool", F.explode("ents").alias("subj")
@@ -76,4 +85,4 @@ def extract_triples(conversations: DataFrame, linked: DataFrame) -> DataFrame:
             F.col("b").cast("string").alias("obj"),
         )
     )
-    return mentioned.unionByName(used_tool).unionByName(pairs).distinct()
+    return mentioned.unionByName(used_tool).unionByName(pairs)

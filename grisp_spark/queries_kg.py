@@ -191,7 +191,7 @@ def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     linked = linking.link_mentions(conv, gaz_bc, evec_bc)
     canon = canonicalize.canonical_map(entities)
     linked_c = canonicalize.rewrite_linked(linked, canon)
-    return triples_mod.extract_triples(conv, linked_c)
+    return triples_mod.extract_triples(linked_c)
 
 
 _BASE = f"WITH conv AS ({DERIVE_CONVERSATIONS_SQL})"

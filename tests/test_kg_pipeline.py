@@ -111,6 +111,51 @@ def test_sanity_no_violations(pipeline_result):
     assert sanity_violations(pipeline_result["label_stats"]).count() == 0
 
 
+def test_fused_matches_staged_and_oracle(spark, dataset, pipeline_result, oracle_result):
+    """The fused map-side path (one Arrow pass, no post-layout
+    shuffles) must emit the identical triple set as the staged
+    resumable path and the oracle."""
+    from grisp_spark.kg import canonicalize, linking
+
+    conv = spark.read.parquet(os.path.join(dataset, "conversations.parquet"))
+    kb = {
+        n: spark.read.parquet(os.path.join(dataset, f"{n}.parquet"))
+        for n in ("entities", "aliases", "label_stats")
+    }
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    canon_bc = canonicalize.canonical_map_broadcast(spark, kb["entities"])
+    fused = linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc, 8)
+    got = _triples_set(fused)
+    assert got == _triples_set(pipeline_result["triples"])
+    assert got == oracle_result["triples"]
+
+
+def test_fused_batch_straddling(spark, dataset):
+    """Window carry must survive pandas-batch boundaries: force
+    2-row Arrow batches so every conversation straddles batches."""
+    from grisp_spark.kg import canonicalize, linking
+
+    conv = spark.read.parquet(os.path.join(dataset, "conversations.parquet"))
+    kb = {
+        n: spark.read.parquet(os.path.join(dataset, f"{n}.parquet"))
+        for n in ("entities", "aliases", "label_stats")
+    }
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    canon_bc = canonicalize.canonical_map_broadcast(spark, kb["entities"])
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        tiny = _triples_set(
+            linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc, 4)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    normal = _triples_set(
+        linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc, 4)
+    )
+    assert tiny == normal
+
+
 def test_resume_identity(spark, dataset, pipeline_result):
     """Delete part of the lineage (simulate a crash after bucket 0+1),
     resume, and require the identical triple set."""

@@ -1,0 +1,96 @@
+"""Pure-Python unit tests for the shared semantic primitives
+(kg/spec.py) — the FIXTURES.md §4 edge-case list. No Spark session."""
+
+import numpy as np
+
+from grisp_spark.kg import spec
+
+
+def gaz(*surfaces):
+    return {s: [(1, 1, 1)] for s in surfaces}
+
+
+def test_normalize_title():
+    # util/Util.java:11-26: first char upper, _→space, strip #fragment
+    assert spec.normalize_title("apache spark") == "Apache spark"
+    assert spec.normalize_title("apache_spark") == "Apache spark"
+    assert spec.normalize_title("Apache#History") == "Apache"
+    assert spec.normalize_title("  x  ") == "X"
+    assert spec.normalize_title("") == ""
+    assert spec.normalize_title("#frag") == ""
+
+
+def test_tokenizer_boundary_chars():
+    # LabelOccurrencesStep.java:169 boundary class
+    assert spec.tokenize("a{b}(c)\"d\"'e'.f,g;h:i-j_k") == list("abcdefghijk")
+    assert spec.tokenize("") == []
+    assert spec.tokenize("   ") == []
+
+
+def test_mention_at_start_and_end():
+    g = gaz("Alpha", "Omega")
+    toks = ["alpha", "mid", "omega"]
+    got = spec.detect_mentions(toks, g)
+    assert got == [(0, 1, "Alpha"), (2, 3, "Omega")]
+
+
+def test_longest_match_first_non_overlapping():
+    g = gaz("Delta", "Delta lake", "Lake")
+    got = spec.detect_mentions(["delta", "lake", "x", "lake"], g)
+    # greedy longest at 0 consumes both tokens; second 'lake' separate
+    assert got == [(0, 2, "Delta lake"), (3, 4, "Lake")]
+
+
+def test_max_15_tokens():
+    name = " ".join(f"w{i}" for i in range(spec.MAX_LABEL_TOKENS))
+    g = gaz(spec.normalize_title(name))
+    toks = name.split(" ")
+    assert spec.detect_mentions(toks, g) == [(0, 15, spec.normalize_title(name))]
+    # 16-token surface can never match (not probed)
+    long16 = " ".join(f"w{i}" for i in range(16))
+    g2 = gaz(spec.normalize_title(long16))
+    assert spec.detect_mentions(long16.split(" "), g2) == []
+
+
+def test_500_char_label_dropped():
+    g = gaz("X" + "x" * 600)
+    assert spec.detect_mentions(["X" + "x" * 600], g) == []
+
+
+def test_apostrophe_single_char_rule():
+    # LabelOccurrencesStep.java:189: 1-char ngram preceded by '
+    g = gaz("A")
+    assert spec.detect_mentions(["it'", "a"], g) == []
+    assert spec.detect_mentions(["it", "a"], g) == [(1, 2, "A")]
+
+
+def test_first_token_index_equivalence():
+    g = gaz("Alpha", "Delta lake", "Nick 7 name", "Ambiguous term 0")
+    idx = spec.build_first_token_index(g)
+    toks = "we saw delta lake and ambiguous term 0 near alpha".split(" ")
+    assert spec.detect_mentions(toks, g, idx) == spec.detect_mentions(toks, g)
+    assert idx["delta"] == 2 and idx["ambiguous"] == 3
+
+
+def test_sense_ordering_and_tiebreak():
+    # DumpExtractor.java:930-944: occ desc, doc desc, id asc
+    senses = [(5, 10, 2), (3, 10, 2), (9, 10, 3), (1, 4, 4)]
+    assert spec.order_senses(senses) == [(9, 10, 3), (3, 10, 2), (5, 10, 2), (1, 4, 4)]
+
+
+def test_pick_sense_deterministic():
+    assert spec.pick_sense([(7, 0.5), (3, 0.5), (9, 0.4)]) == (3, 0.5)
+    assert spec.pick_sense([]) is None
+
+
+def test_word_vec_deterministic_unit():
+    v1, v2 = spec.word_vec("Spark"), spec.word_vec("spark")
+    assert np.allclose(v1, v2)  # case-folded
+    assert abs(float(np.linalg.norm(v1)) - 1.0) < 1e-6
+    assert not np.allclose(spec.word_vec("spark"), spec.word_vec("flink"))
+
+
+def test_centroid_empty_and_cosine_zero():
+    z = spec.centroid([])
+    assert float(np.linalg.norm(z)) == 0.0
+    assert spec.cosine(z, spec.word_vec("x")) == 0.0
