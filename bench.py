@@ -57,11 +57,19 @@ HEADLINE = [
 
 
 def ensure_bench_dataset(n_convs: int = BENCH_CONVS) -> str:
-    out = _data_dir(n_convs)
-    marker = os.path.join(out, "conversations.parquet")
-    if not os.path.exists(marker):
-        from grisp_spark.kg.datagen import write_dataset
+    from grisp_spark.kg.datagen import DATAGEN_VERSION, write_dataset
 
+    out = _data_dir(n_convs)
+    vfile = os.path.join(out, "_VERSION")
+    current = (
+        os.path.exists(os.path.join(out, "conversations.parquet"))
+        and os.path.exists(vfile)
+        and open(vfile).read().strip() == str(DATAGEN_VERSION)
+    )
+    if not current:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         write_dataset(out, seed=42, n_convs=n_convs)
     return out
 

@@ -27,6 +27,7 @@ import pandas as pd
 from grisp_spark.kg import spec
 
 N_TOPICS = 8
+DATAGEN_VERSION = 2  # bump when generation semantics change (cache key)
 
 _TOPIC_WORDS = {
     t: [f"{w}{t}" for w in (
@@ -198,15 +199,22 @@ def generate_conversations(
                 e = int(eids[int(rng.integers(0, len(eids)))])
                 if e not in chosen:
                     chosen.append(e)
-            words: list[str] = list(
-                rng.choice(_FILLER, size=int(rng.integers(2, 6)), replace=True)
-            )
+            # rng.integers indexing instead of rng.choice (~40x faster)
+            words: list[str] = [
+                _FILLER[i]
+                for i in rng.integers(0, len(_FILLER), size=int(rng.integers(2, 6)))
+            ]
             for e in chosen:
                 # surface: canonical or an alias/variant
                 opts = [names[e]] + alias_by_ent.get(e, [])
                 surf = opts[int(rng.integers(0, len(opts)))]
-                ctx = list(rng.choice(vocabs[e], size=3, replace=False))
-                words.extend(ctx)
+                vocab = vocabs[e]
+                picks: list[int] = []
+                while len(picks) < 3:  # small-k sample w/o replacement
+                    j = int(rng.integers(0, len(vocab)))
+                    if j not in picks:
+                        picks.append(j)
+                words.extend(vocab[j] for j in picks)
                 pos = int(rng.integers(0, len(words) + 1))
                 for j, tok in enumerate(surf.split(" ")):
                     words.insert(pos + j, tok)
@@ -215,21 +223,22 @@ def generate_conversations(
             text = " ".join(words)
             conv_rows.append((conv_id, t, role, text, tool, ts))
 
+    # duplicate ~3% of texts into the following turn of the same conv
+    # (mutate the row list pre-DataFrame: per-cell pandas .loc writes
+    # are ~2ms each at millions of rows — superlinear block churn)
+    key_to_idx = {(r[0], r[1]): i for i, r in enumerate(conv_rows)}
+    rng_dup = np.random.default_rng(seed + 2)
+    n_dup = int(len(conv_rows) * 0.03)
+    dup_pos = rng_dup.choice(len(conv_rows), size=n_dup, replace=False)
+    for i in dup_pos:
+        r = conv_rows[i]
+        j = key_to_idx.get((r[0], r[1] + 1))
+        if j is not None:
+            t = conv_rows[j]
+            conv_rows[j] = (t[0], t[1], t[2], r[3], t[4], t[5])
     conversations = pd.DataFrame(
         conv_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
-    # duplicate ~3% of texts into the following turn of the same conv
-    # (O(1) key lookup — the naive filter-per-row scan is O(n²))
-    key_to_idx = {
-        (r.conv_id, r.turn_idx): i
-        for i, r in enumerate(conversations.itertuples(index=False))
-    }
-    dup_idx = conversations.sample(frac=0.03, random_state=seed + 2).index
-    for i in dup_idx:
-        r = conversations.loc[i]
-        j = key_to_idx.get((r.conv_id, r.turn_idx + 1))
-        if j is not None:
-            conversations.loc[j, "text"] = r.text
     # shuffle physical order
     conversations = conversations.sample(frac=1.0, random_state=seed + 3).reset_index(
         drop=True
@@ -269,4 +278,6 @@ def write_dataset(out_dir: str, seed: int = 42, n_convs: int = 200) -> dict[str,
         else:
             pdf.to_parquet(p, index=False)
         paths[name] = p
+    with open(os.path.join(out_dir, "_VERSION"), "w") as f:
+        f.write(str(DATAGEN_VERSION))
     return paths

@@ -37,17 +37,19 @@ LINKED_SCHEMA = (
 # Executor-local memo for word vectors (deterministic → cache-safe).
 _WORD_VEC_CACHE: dict[str, np.ndarray] = {}
 
-# Executor-local first-token index cache (keyed by gazetteer object id;
-# broadcast values are one object per executor process).
+# Executor-local first-token index cache, keyed by the BROADCAST id
+# (stable and unique per broadcast). Never key by id(obj): a reused
+# python worker can see a new gazetteer allocated at a freed object's
+# address, and the stale index silently matches nothing.
 _IDX_CACHE: dict[int, dict[str, int]] = {}
 
 
-def _first_token_index(gaz: dict) -> dict[str, int]:
-    idx = _IDX_CACHE.get(id(gaz))
+def _first_token_index(gaz: dict, cache_key: int) -> dict[str, int]:
+    idx = _IDX_CACHE.get(cache_key)
     if idx is None:
         idx = spec.build_first_token_index(gaz)
         _IDX_CACHE.clear()
-        _IDX_CACHE[id(gaz)] = idx
+        _IDX_CACHE[cache_key] = idx
     return idx
 
 
@@ -112,10 +114,13 @@ def link_mentions(
     LabelSensesStep.java:199-311)."""
     n_partitions = n_partitions or conv.sparkSession.sparkContext.defaultParallelism
 
+    # driver-side stable broadcast id, captured into the closure
+    cache_key = gaz_bc._jbroadcast.id()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = gaz_bc.value
         evecs = evec_bc.value
-        idx = _first_token_index(gaz)
+        idx = _first_token_index(gaz, cache_key)
         for pdf in batches:
             out: dict[str, list] = {
                 "conv_id": [], "turn_idx": [], "role": [], "tool": [],
@@ -194,11 +199,14 @@ def link_and_extract(
     canonical_id} from canonicalize.canonical_map."""
     n_partitions = n_partitions or conv.sparkSession.sparkContext.defaultParallelism
 
+    # driver-side stable broadcast id, captured into the closure
+    cache_key = gaz_bc._jbroadcast.id()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = gaz_bc.value
         evecs = evec_bc.value
         canon = canon_bc.value
-        idx = _first_token_index(gaz)
+        idx = _first_token_index(gaz, cache_key)
         prev_conv: str | None = None
         prev_set: set[int] = set()
         for pdf in batches:
@@ -260,9 +268,12 @@ def detect_only(conv: DataFrame, gaz_bc, n_partitions: int | None = None) -> Dat
     used by the stats stage and unit tests."""
     n_partitions = n_partitions or conv.sparkSession.sparkContext.defaultParallelism
 
+    # driver-side stable broadcast id, captured into the closure
+    cache_key = gaz_bc._jbroadcast.id()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = gaz_bc.value
-        idx = _first_token_index(gaz)
+        idx = _first_token_index(gaz, cache_key)
         for pdf in batches:
             rows = {"conv_id": [], "turn_idx": [], "begin": [], "end": [], "surface": []}
             for row in pdf.itertuples(index=False):

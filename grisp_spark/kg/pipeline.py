@@ -93,6 +93,13 @@ class KGPipeline:
         return {n: self._read(n) for n in ("entities", "aliases", "label_stats")}
 
     # -- stage 1: linked mentions (bucket-resumable Arrow stage) -----------
+    LINKED_READ_SCHEMA = linking.LINKED_SCHEMA + ", bucket int"
+
+    def _read_linked(self, out: str) -> DataFrame:
+        # explicit schema: a bucket with zero mentions writes a
+        # schema-less (empty) parquet dir, which breaks inference
+        return self.spark.read.schema(self.LINKED_READ_SCHEMA).parquet(out)
+
     def stage_linked(self, resume: bool = True) -> DataFrame:
         out = os.path.join(self.out_dir, "linked")
         stage = "linked"
@@ -117,14 +124,14 @@ class KGPipeline:
                     part, gaz_bc, evec_bc, self.n_partitions
                 ).withColumn("bucket", F.lit(b))
                 linked_b.write.mode("append").partitionBy("bucket").parquet(out)
-                rows_out = self.spark.read.parquet(out).filter(
-                    F.col("bucket") == b
-                ).count()
+                rows_out = (
+                    self._read_linked(out).filter(F.col("bucket") == b).count()
+                )
                 self.lineage.record(
                     stage, b, rows_in, rows_out,
                     int((time.monotonic() - t0) * 1000),
                 )
-        return self.spark.read.parquet(out)
+        return self._read_linked(out)
 
     # -- downstream stages (stage-granular resume) --------------------------
     def _stage(self, name: str, build, resume: bool = True) -> DataFrame:
