@@ -54,6 +54,21 @@ def tokenize(text: str) -> list[str]:
     return BOUNDARY_RE.findall(text)
 
 
+def ngram_key(joined: str) -> str:
+    """Dictionary-lookup key for a TEXT ngram: first char case-folded
+    only. The reference probes text ngrams as-is against the label
+    dictionary (LabelOccurrencesStep.java:190) — full title
+    normalization (underscores, #fragments) applies when BUILDING
+    dictionary keys from titles/aliases (normalize_title), not when
+    probing text. Tokens contain no '_' (a boundary char), so this
+    key never changes token structure — which is exactly what makes
+    the first-token index sound (hypothesis found the counterexample
+    for normalize_title-keyed probing: ['alpha','_'] → 'Alpha')."""
+    if not joined:
+        return joined
+    return joined[0].upper() + joined[1:]
+
+
 def build_first_token_index(gazetteer: dict) -> dict[str, int]:
     """first-token (case-folded) → max ngram length starting with it.
     One dict probe rejects a scan position instead of up to 15 joined
@@ -97,7 +112,7 @@ def detect_mentions(
             max_ln = MAX_LABEL_TOKENS
         matched = False
         for ln in range(min(max_ln, MAX_LABEL_TOKENS, n - i), 0, -1):
-            surface = normalize_title(" ".join(tokens[i : i + ln]))
+            surface = ngram_key(" ".join(tokens[i : i + ln]))
             if len(surface) >= MAX_LABEL_CHARS:
                 continue
             if surface in gazetteer:

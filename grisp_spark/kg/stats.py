@@ -64,6 +64,44 @@ def sanity_violations(label_stats: DataFrame) -> DataFrame:
     return per_label.filter(F.col("sum_link_occ") > F.col("text_occ"))
 
 
+def label_stats_from_kb(entities: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Bootstrap an anchor-prior table from a bare KB (no corpus
+    statistics yet) — grisp's step-1 equivalent, where the gazetteer
+    initially knows only titles and redirects (PageStep.java:146-187,
+    RedirectStep.java:159-181). Uniform unit priors; from_title /
+    from_redirect flags preserved so sense ordering still has the
+    reference's tie-break structure (ExSenseForLabel.java:12-13)."""
+    from grisp_spark.kg.spec import MAX_LABEL_CHARS
+
+    title_rows = entities.select(
+        F.col("canonical_name").alias("label"),
+        "entity_id",
+        F.lit(1).cast("long").alias("link_occ"),
+        F.lit(1).cast("long").alias("link_doc"),
+        F.lit(True).alias("from_title"),
+        F.lit(False).alias("from_redirect"),
+    )
+    alias_rows = aliases.select(
+        F.col("alias").alias("label"),
+        "entity_id",
+        F.lit(1).cast("long").alias("link_occ"),
+        F.lit(1).cast("long").alias("link_doc"),
+        F.lit(False).alias("from_title"),
+        (F.col("kind") == "redirect").alias("from_redirect"),
+    )
+    return (
+        title_rows.unionByName(alias_rows)
+        .filter(F.length("label") < MAX_LABEL_CHARS)
+        .groupBy("label", "entity_id")
+        .agg(
+            F.sum("link_occ").alias("link_occ"),
+            F.max("link_doc").alias("link_doc"),
+            F.max("from_title").alias("from_title"),
+            F.max("from_redirect").alias("from_redirect"),
+        )
+    )
+
+
 def salted_label_stats(
     mentions: DataFrame, n_salts: int = 16
 ) -> DataFrame:

@@ -164,9 +164,11 @@ def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     conv = derive_conversations(spark, sf_dir)
     toks = _turn_tokens(conv).filter(F.length("token") >= 6)
+    # cached: entities feed three consumers (two broadcast builds +
+    # canonical map) — without the cache the token agg runs 3x
     vocab = toks.groupBy("token").agg(
         F.count("*").alias("occ"), F.countDistinct("conv_id").alias("doc")
-    ).filter(F.col("occ") >= MIN_OCC)
+    ).filter(F.col("occ") >= MIN_OCC).cache()
     # deterministic hash ids — no global-ordering window (which would
     # funnel the vocabulary through a single partition)
     entities = vocab.select(

@@ -9,14 +9,7 @@
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+from grisp_spark.plans import physical_plan as _plan
 
 
 def test_broadcast_dim_join_is_broadcast(spark, sf_dir):

@@ -1,0 +1,62 @@
+"""Property-based test: the optimized gazetteer scan (first-token
+index + greedy loop) agrees with an independent naive implementation
+of the same spec on arbitrary inputs. No Spark session."""
+
+from hypothesis import given, settings, strategies as st
+
+from grisp_spark.kg import spec
+
+TOKENS = st.sampled_from(
+    ["alpha", "beta", "Gamma", "delta", "x", "a", "it'", "spark", "LAKE", "x#y"]
+)
+
+
+def naive_detect(tokens, gazetteer):
+    """Straight transcription of the spec: at each position, longest
+    normalized ngram (≤15 tokens, <500 chars) present in the
+    gazetteer, apostrophe rule for 1-char tokens, non-overlapping
+    greedy advance. No index, no early exits."""
+    out, i, n = [], 0, len(tokens)
+    while i < n:
+        best = None
+        for ln in range(min(spec.MAX_LABEL_TOKENS, n - i), 0, -1):
+            surf = spec.ngram_key(" ".join(tokens[i : i + ln]))
+            if len(surf) >= spec.MAX_LABEL_CHARS or surf not in gazetteer:
+                continue
+            if (
+                ln == 1
+                and len(tokens[i]) == 1
+                and i > 0
+                and tokens[i - 1].endswith("'")
+            ):
+                continue
+            best = (i, i + ln, surf)
+            break
+        if best:
+            out.append(best)
+            i = best[1]
+        else:
+            i += 1
+    return out
+
+
+@st.composite
+def case(draw):
+    tokens = draw(st.lists(TOKENS, min_size=0, max_size=24))
+    n_surf = draw(st.integers(0, 6))
+    surfaces = set()
+    for _ in range(n_surf):
+        k = draw(st.integers(1, 3))
+        toks = [draw(TOKENS) for _ in range(k)]
+        surfaces.add(spec.normalize_title(" ".join(toks)))
+    gaz = {s: [(1, 1, 1)] for s in surfaces if s}
+    return tokens, gaz
+
+
+@settings(max_examples=300, deadline=None)
+@given(case())
+def test_detect_matches_naive(tc):
+    tokens, gaz = tc
+    idx = spec.build_first_token_index(gaz)
+    assert spec.detect_mentions(tokens, gaz, idx) == naive_detect(tokens, gaz)
+    assert spec.detect_mentions(tokens, gaz) == naive_detect(tokens, gaz)
