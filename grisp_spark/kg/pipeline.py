@@ -123,7 +123,16 @@ class KGPipeline:
                 linked_b = linking.link_mentions(
                     part, gaz_bc, evec_bc, self.n_partitions
                 ).withColumn("bucket", F.lit(b))
-                linked_b.write.mode("append").partitionBy("bucket").parquet(out)
+                # dynamic partition overwrite: replaces ONLY bucket=b,
+                # so a bucket that crashed mid-write (files on disk,
+                # no lineage record) is cleanly rewritten on resume
+                # instead of double-appended
+                (
+                    linked_b.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket")
+                    .parquet(out)
+                )
                 rows_out = (
                     self._read_linked(out).filter(F.col("bucket") == b).count()
                 )

@@ -190,10 +190,8 @@ def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kb = {"entities": entities, "label_stats": label_stats}
     gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
-    linked = linking.link_mentions(conv, gaz_bc, evec_bc)
-    canon = canonicalize.canonical_map(entities)
-    linked_c = canonicalize.rewrite_linked(linked, canon)
-    return triples_mod.extract_triples(linked_c)
+    canon_bc = canonicalize.canonical_map_broadcast(spark, entities)
+    return linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc)
 
 
 _BASE = f"WITH conv AS ({DERIVE_CONVERSATIONS_SQL})"

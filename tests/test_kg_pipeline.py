@@ -186,3 +186,39 @@ def test_resume_identity(spark, dataset, pipeline_result):
     # resume completes buckets 2,3 and the downstream stages
     result = pipe.run(resume=True)
     assert _triples_set(result["triples"]) == baseline
+
+
+def test_resume_after_midwrite_crash(spark, dataset, pipeline_result):
+    """A bucket written to disk WITHOUT a lineage record (crash between
+    write and record) must be rewritten, not double-appended."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    baseline = _triples_set(pipeline_result["triples"])
+    out3 = OUT + "_crash"
+    shutil.rmtree(out3, ignore_errors=True)
+    pipe = KGPipeline(spark, dataset, out3, n_buckets=4, n_partitions=8)
+    conv_b = pipe.conversations().withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    )
+    kb = pipe.kb()
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    # bucket 0: written fully but NO lineage record (simulated crash)
+    part = conv_b.filter(F.col("bucket") == 0).drop("bucket")
+    linked_0 = linking.link_mentions(part, gaz_bc, evec_bc, 8).withColumn(
+        "bucket", F.lit(0)
+    )
+    linked_0.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(out3, "linked")
+    )
+    result = pipe.run(resume=True)
+    linked = spark.read.parquet(os.path.join(out3, "linked"))
+    dups = (
+        linked.groupBy("conv_id", "turn_idx", "begin", "end")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+    assert _triples_set(result["triples"]) == baseline
