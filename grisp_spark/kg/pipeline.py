@@ -133,12 +133,31 @@ class KGPipeline:
                     .partitionBy("bucket")
                     .parquet(out)
                 )
-                rows_out = (
-                    self._read_linked(out).filter(F.col("bucket") == b).count()
+                written = self._read_linked(out).filter(F.col("bucket") == b)
+                # per-bucket lineage metrics in ONE aggregation pass:
+                # row count, conv_id range, link-score decile
+                # histogram (north-star lineage: "conv_id range,
+                # input/output counts, link-score histograms")
+                hist_col = F.floor(F.col("score") * 10).cast("int")
+                m = (
+                    written.withColumn("decile", hist_col)
+                    .groupBy("decile")
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.min("conv_id").alias("cmin"),
+                        F.max("conv_id").alias("cmax"),
+                    )
+                    .collect()
                 )
+                rows_out = sum(int(r["n"]) for r in m)
                 self.lineage.record(
                     stage, b, rows_in, rows_out,
                     int((time.monotonic() - t0) * 1000),
+                    conv_id_range=[
+                        min((r["cmin"] for r in m), default=None),
+                        max((r["cmax"] for r in m), default=None),
+                    ],
+                    score_histogram={str(r["decile"]): int(r["n"]) for r in m},
                 )
         return self._read_linked(out)
 

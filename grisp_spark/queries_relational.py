@@ -51,13 +51,18 @@ def q02_global_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 analogue: per-type counts + global max timestamp
     (PageStep.java:90-103; lastEdit max DumpExtractor.java:979-1011)."""
     ev = load_table(spark, sf_dir, "events")
+    # sum over DECIMAL(18,2): exact and associative, so the total is
+    # bit-identical across engines regardless of partial-agg order
+    # (a double sum differs ~1e-15 between Spark and the oracle)
     return (
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.max("ts").alias("last_ts"),
-            F.sum("value").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -300,7 +305,7 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
                max(ts) AS last_ts,
-               sum(value) AS total_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "q03_broadcast_dim_join": """

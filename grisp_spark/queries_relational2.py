@@ -49,17 +49,19 @@ def q16_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     results identical to the direct groupBy the oracle runs."""
     ev = load_table(spark, sf_dir, "events")
     salted = ev.withColumn("salt", F.pmod(F.xxhash64("user_id"), F.lit(16)))
+    # decimal partials: the two-phase sum stays exact and associative,
+    # so salting can't perturb the total vs the oracle's direct sum
     phase1 = salted.groupBy("event_type", "salt").agg(
         F.count("*").alias("n_part"),
         F.countDistinct("user_id").alias("u_part"),
-        F.sum("value").alias("v_part"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v_part"),
     )
     return (
         phase1.groupBy("event_type")
         .agg(
             F.sum("n_part").alias("n_events"),
             F.sum("u_part").alias("n_users"),
-            F.sum("v_part").alias("total_value"),
+            F.sum("v_part").cast("double").alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -181,7 +183,7 @@ ORACLES: dict[str, str] = {
     "q16_salted_stats": """
         SELECT event_type, count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               sum(value) AS total_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "q17_set_ops": """

@@ -105,6 +105,31 @@ def test_canonical_map_parity(pipeline_result, oracle_result):
     assert got[97] == 2
 
 
+def test_lineage_metrics(pipeline_result):
+    """Lineage records carry the north-star per-partition metrics:
+    conv_id range + link-score histogram, counts consistent."""
+    import json
+    import os
+
+    ldir = os.path.join(OUT, "_lineage")
+    recs = [
+        json.load(open(os.path.join(ldir, f)))
+        for f in os.listdir(ldir)
+        if f.startswith("linked.") and f.endswith(".json")
+    ]
+    assert len(recs) == 4
+    total_hist = 0
+    for r in recs:
+        assert r["rows_in"] > 0
+        assert sum(r["score_histogram"].values()) == r["rows_out"]
+        lo, hi = r["conv_id_range"]
+        assert (lo is None) == (r["rows_out"] == 0)
+        if lo is not None:
+            assert lo <= hi
+        total_hist += r["rows_out"]
+    assert total_hist == pipeline_result["linked"].count()
+
+
 def test_sanity_no_violations(pipeline_result):
     from grisp_spark.kg.stats import sanity_violations
 
