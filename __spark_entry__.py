@@ -21,6 +21,7 @@ from grisp_spark import (  # noqa: E402
     queries_kg,
     queries_relational,
     queries_relational2,
+    queries_relational3,
     queries_traindata,
 )
 
@@ -36,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(queries_relational.QUERIES)
     out.update(queries_relational2.QUERIES)
+    out.update(queries_relational3.QUERIES)
     out.update(queries_traindata.QUERIES)
     out.update(queries_kg.QUERIES)
     return out
@@ -45,6 +47,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(queries_relational.ORACLES)
     out.update(queries_relational2.ORACLES)
+    out.update(queries_relational3.ORACLES)
     out.update(queries_traindata.ORACLES)
     out.update(queries_kg.ORACLES)
     return out
