@@ -164,7 +164,9 @@ class KGPipeline:
     # -- downstream stages (stage-granular resume) --------------------------
     def _stage(self, name: str, build, resume: bool = True) -> DataFrame:
         out = os.path.join(self.out_dir, name)
-        if resume and self.lineage.stage_complete(name):
+        # a .done marker without output on disk (manual cleanup /
+        # partial restore) must rebuild, not crash on read
+        if resume and self.lineage.stage_complete(name) and os.path.exists(out):
             return self.spark.read.parquet(out)
         t0 = time.monotonic()
         df = build()
