@@ -160,7 +160,7 @@ def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring + canonicalization + turn-window triples. Rows-only check
     (numpy context scoring isn't SQL-expressible); every constituent
     stage has its own oracle (kg01-kg05, q13)."""
-    from grisp_spark.kg import canonicalize, linking, triples as triples_mod
+    from grisp_spark.kg import canonicalize, linking
 
     conv = derive_conversations(spark, sf_dir)
     toks = _turn_tokens(conv).filter(F.length("token") >= 6)
