@@ -36,13 +36,13 @@ class Lineage:
         self.dir = os.path.join(out_dir, LINEAGE_DIR)
         os.makedirs(self.dir, exist_ok=True)
 
-    def done_buckets(self, stage: str) -> set[int]:
-        done = set()
+    def done_buckets(self, stage: str) -> dict[int, dict]:
+        done: dict[int, dict] = {}
         for fn in os.listdir(self.dir):
-            if fn.startswith(f"{stage}."):
+            if fn.startswith(f"{stage}.") and fn.endswith(".json"):
                 with open(os.path.join(self.dir, fn)) as f:
                     rec = json.load(f)
-                done.add(rec["bucket"])
+                done[rec["bucket"]] = rec
         return done
 
     def record(self, stage: str, bucket: int, rows_in: int, rows_out: int, wall_ms: int, **extra) -> None:
@@ -103,7 +103,18 @@ class KGPipeline:
     def stage_linked(self, resume: bool = True) -> DataFrame:
         out = os.path.join(self.out_dir, "linked")
         stage = "linked"
-        done = self.lineage.done_buckets(stage) if resume else set()
+        # a bucket counts as done only if its lineage record AND its
+        # parquet partition both survive (lineage-present/output-deleted
+        # state must rebuild, not crash the resume read — mirrors the
+        # os.path.exists(out) guard in _stage). Zero-row buckets write
+        # no partition dir, so rows_out==0 stands in for it.
+        recs = self.lineage.done_buckets(stage) if resume else {}
+        done = {
+            b
+            for b, rec in recs.items()
+            if rec.get("rows_out") == 0
+            or os.path.isdir(os.path.join(out, f"bucket={b}"))
+        }
         if not resume:
             shutil.rmtree(out, ignore_errors=True)
             for fn in os.listdir(self.lineage.dir):

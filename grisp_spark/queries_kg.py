@@ -140,13 +140,14 @@ def kg05_adjacency_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap + exact degree."""
     edges = kg04_cooccurrence_edges(spark, sf_dir)
     # one collect_set feeds both outputs (countDistinct alongside
-    # would force a second exchange)
+    # would force a second exchange); out_adj '|'-joined so the
+    # driver's canonicalizer can hash it (scalar columns only)
     return (
         edges.groupBy("src")
         .agg(F.array_sort(F.collect_set("dst")).alias("adj"))
         .select(
             "src",
-            F.slice("adj", 1, ADJ_CAP).alias("out_adj"),
+            F.array_join(F.slice("adj", 1, ADJ_CAP), "|").alias("out_adj"),
             F.size("adj").cast("long").alias("degree"),
         )
         .orderBy("src")
@@ -278,7 +279,9 @@ ORACLES: dict[str, str] = {
         ), edges AS (
             SELECT src, dst FROM pairs GROUP BY src, dst HAVING count(*) >= 5
         )
-        SELECT src, list_sort(list_distinct(list(dst)))[1 : {ADJ_CAP}] AS out_adj,
+        SELECT src,
+               array_to_string(list_sort(list_distinct(list(dst)))[1 : {ADJ_CAP}], '|')
+                 AS out_adj,
                count(DISTINCT dst) AS degree
         FROM edges GROUP BY src ORDER BY src
     """,

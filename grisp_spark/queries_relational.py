@@ -170,13 +170,15 @@ def q08_adjacency_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # one collect_set feeds both the capped list and the degree —
     # a separate countDistinct would force a second shuffle (Spark
-    # expands distinct aggregates into a two-exchange plan)
+    # expands distinct aggregates into a two-exchange plan).
+    # out_adj is emitted '|'-joined: the driver's canonicalizer can't
+    # hash array cells, so driver-facing queries keep scalar columns.
     return (
         ev.groupBy("user_id")
         .agg(F.sort_array(F.collect_set("event_type")).alias("adj"))
         .select(
             "user_id",
-            F.slice("adj", 1, 3).alias("out_adj"),
+            F.array_join(F.slice("adj", 1, 3), "|").alias("out_adj"),
             F.size("adj").cast("long").alias("degree"),
         )
         .orderBy("user_id")
@@ -253,13 +255,11 @@ def q13_redirect_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 redirect-chain resolution (RedirectCache.java:156-198) as
     pointer-jumping over a derived edge table: supplier s points to
     supplier (s+1) within each nation (chains), resolved to each
-    chain's terminal node in O(log n) self-join rounds. Cycle-safe by
-    construction of the halving loop (a node whose pointer stops
-    advancing is terminal).
+    chain's terminal node by operators/closure.resolve_chains — the
+    fixpoint-probed O(log L) doubling loop (a fixed round count would
+    silently truncate chains longer than 2^rounds at larger SFs)."""
+    from grisp_spark.operators.closure import resolve_chains
 
-    At 100 TB scale each round is one shuffle join; rounds = log2(max
-    chain length); lineage cut per round via localCheckpoint.
-    """
     sup = load_table(spark, sf_dir, "supplier")
     w = W.partitionBy("s_nationkey").orderBy("s_suppkey")
     edges = (
@@ -269,19 +269,7 @@ def q13_redirect_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nxt", "s_suppkey").alias("dst"),
         )
     )
-    # pointer jumping: ptr(src) <- ptr(ptr(src)) until fixpoint
-    cur = edges
-    for _ in range(8):  # 2^8 hops >> any chain at these scales
-        left = cur.alias("a")
-        right = cur.alias("b")
-        cur = left.join(
-            right, F.col("a.dst") == F.col("b.src"), "left"
-        ).select(
-            F.col("a.src").alias("src"),
-            F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
-        )
-        cur = cur.localCheckpoint(eager=False)
-    return cur.select("src", F.col("dst").alias("terminal")).orderBy("src")
+    return resolve_chains(edges).orderBy("src")
 
 
 ORACLES: dict[str, str] = {
@@ -356,7 +344,8 @@ ORACLES: dict[str, str] = {
     """,
     "q08_adjacency_out": """
         SELECT user_id,
-               list_sort(list_distinct(list(event_type)))[1:3] AS out_adj,
+               array_to_string(list_sort(list_distinct(list(event_type)))[1:3], '|')
+                 AS out_adj,
                count(DISTINCT event_type) AS degree
         FROM events GROUP BY user_id ORDER BY user_id
     """,
@@ -373,7 +362,10 @@ ORACLES: dict[str, str] = {
                                        ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )
-        SELECT user_id, session_id, count(*) AS n_events,
+        -- CAST: DuckDB's windowed sum() yields HUGEINT (pandas float64)
+        -- while Spark yields bigint; same values, different hash.
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
                min(ts) AS sess_start, max(ts) AS sess_end
         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,

@@ -31,11 +31,24 @@ def q15_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores as an LMDB map value."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    # the sorted entry list is serialized 'k:v|k:v' — the driver's
+    # canonicalizer can't hash array/struct cells, so driver-facing
+    # queries emit scalar columns only
     return (
         per_type.groupBy("user_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("cnt").alias("v")))
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("event_type").alias("k"), F.col("cnt").alias("v")
+                            )
+                        )
+                    ),
+                    lambda e: F.concat_ws(":", e.k, e.v.cast("string")),
+                ),
+                "|",
             ).alias("entries")
         )
         .orderBy("user_id")
@@ -177,7 +190,9 @@ ORACLES: dict[str, str] = {
             FROM events GROUP BY user_id, event_type
         )
         SELECT user_id,
-               list_sort(list({'k': k, 'v': v})) AS entries
+               array_to_string(
+                   list_transform(list_sort(list({'k': k, 'v': v})),
+                                  e -> e.k || ':' || e.v), '|') AS entries
         FROM per_type GROUP BY user_id ORDER BY user_id
     """,
     "q16_salted_stats": """

@@ -15,21 +15,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-TUPLE_RE = r"\((\d+,'[^']*','[^']*(?:''[^']*)*')\)"
+# one quoted-string atom: ''-doubled OR \-escaped quotes (MySQL emits
+# \' in real dumps, e.g. 'l\'été'); a tuple is any mix of quoted
+# strings and unquoted scalars (ints, floats, NULL), so page_props'
+# trailing NULL/float 4th column is captured too
+_STR = r"'(?:[^'\\]|\\.|'')*'"
+TUPLE_RE = rf"\(((?:[^'()\\]|\\.|{_STR})+)\)"
 
 
 def parse_insert_tuples(
     lines: DataFrame, schema: str = "page_id LONG, lang STRING, title STRING"
 ) -> DataFrame:
     """INSERT INTO … VALUES (1,'fr','salut'),(2,'de','hallo'); →
-    typed rows. C5 tuple surgery as one regex + from_csv (quote=')."""
+    typed rows. C5 tuple surgery as one regex + from_csv (quote=',
+    escape=\\ for MySQL-style backslash escapes). Extra trailing
+    columns beyond ``schema`` are ignored (page_props' sortkey)."""
     tuples = lines.filter(F.col("value").startswith("INSERT INTO")).select(
         F.explode(F.regexp_extract_all("value", F.lit(TUPLE_RE), 1)).alias("t")
     )
     parsed = tuples.select(
-        F.from_csv("t", schema, {"quote": "'"}).alias("r")
+        F.from_csv(
+            "t", schema, {"quote": "'", "escape": "\\", "mode": "PERMISSIVE"}
+        ).alias("r")
     ).select("r.*")
     return parsed
+
+
+def tuple_counts(lines: DataFrame) -> DataFrame:
+    """Dropped-tuple monitor: raw '),('-delimited tuple count vs
+    regex-captured count per line (the reference's splitter preserves
+    every tuple, ProcessWikiData.java:186-336 — a gap here means the
+    grammar missed one)."""
+    ins = lines.filter(F.col("value").startswith("INSERT INTO"))
+    return ins.select(
+        (F.size(F.split("value", r"\),\(")) ).alias("raw_tuples"),
+        F.size(F.regexp_extract_all("value", F.lit(TUPLE_RE), 1)).alias(
+            "parsed_tuples"
+        ),
+    )
 
 
 def langlinks(lines: DataFrame, whitelist: tuple[str, ...] = ("fr", "de", "en", "es", "it")) -> DataFrame:

@@ -47,7 +47,25 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def assert_scalar_schema(spark_df, name: str = "") -> None:
+    """The driver's canonicalizer crashes on array/map/struct cells
+    (pandas sort_values: unhashable type) — reject them here so the
+    local mirror is as strict as the real gate."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} would crash the driver's "
+        "canonicalizer — serialize them (e.g. F.array_join(col, '|'))"
+    )
+
+
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, name: str = "") -> None:
+    assert_scalar_schema(spark_df, name)
     spdf = spark_df.toPandas()
     con = duck_connect(sf_dir)
     try:

@@ -213,6 +213,29 @@ def test_resume_identity(spark, dataset, pipeline_result):
     assert _triples_set(result["triples"]) == baseline
 
 
+def test_resume_lineage_outlived_output(spark, dataset, pipeline_result):
+    """The inverse crash state: lineage record present but the bucket's
+    parquet partition deleted (manual cleanup / partial restore). The
+    bucket must be recomputed, not crash the resume read."""
+    import shutil
+
+    baseline = _triples_set(pipeline_result["triples"])
+    out4 = OUT + "_orphan_lineage"
+    shutil.rmtree(out4, ignore_errors=True)
+    pipe = KGPipeline(spark, dataset, out4, n_buckets=4, n_partitions=8)
+    pipe.run(resume=False)
+    # delete bucket 1's output but keep its (rows_out>0) lineage record
+    recs = pipe.lineage.done_buckets("linked")
+    assert recs[1]["rows_out"] > 0
+    shutil.rmtree(os.path.join(out4, "linked", "bucket=1"))
+    # downstream stages must also recompute from the restored bucket
+    for fn in os.listdir(pipe.lineage.dir):
+        if fn.endswith(".done"):
+            os.remove(os.path.join(pipe.lineage.dir, fn))
+    result = pipe.run(resume=True)
+    assert _triples_set(result["triples"]) == baseline
+
+
 def test_resume_after_midwrite_crash(spark, dataset, pipeline_result):
     """A bucket written to disk WITHOUT a lineage record (crash between
     write and record) must be rewritten, not double-appended."""

@@ -111,6 +111,27 @@ def test_sql_insert_tuples(spark):
     assert got == {(142236, "fr", "salut les nuls"), (9, "de", "hallo, welt")}
 
 
+def test_sql_insert_tuples_backslash_escape_and_extra_column(spark):
+    """mysqldump escapes quotes as \\' (not ''-doubling), and
+    page_props tuples carry a trailing NULL/float sortkey — both must
+    survive the tuple grammar instead of being silently dropped."""
+    os.makedirs(FIX, exist_ok=True)
+    p = os.path.join(FIX, "pageprops.sql")
+    with open(p, "w") as f:
+        f.write(
+            "INSERT INTO `langlinks` VALUES (1,'fr','l\\'été'),"
+            "(2,'de','a\\\\b',NULL),(3,'fr','x',0.25);\n"
+        )
+    lines = spark.read.text(p)
+    got = {
+        (r.page_id, r.lang, r.title)
+        for r in sqldump.parse_insert_tuples(lines).collect()
+    }
+    assert got == {(1, "fr", "l'été"), (2, "de", "a\\b"), (3, "fr", "x")}
+    stats = sqldump.tuple_counts(lines).collect()
+    assert stats[0].raw_tuples == stats[0].parsed_tuples == 3
+
+
 def test_wikidata_json_ids(spark):
     p = os.path.join(FIX, "wikidata.jsonl")
     with open(p, "w") as f:
