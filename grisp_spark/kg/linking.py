@@ -70,7 +70,22 @@ def _centroid_cached(words: list[str]) -> np.ndarray:
     return (m / nrm).astype(np.float32) if nrm > 0 else m.astype(np.float32)
 
 
-def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame]):
+def load_word_vectors(spark: SparkSession, vectors: DataFrame):
+    """(word, vec array<float>) table → broadcast {word: np.float32
+    vector} — the file-backed replacement for the md5 pseudo-vectors,
+    matching the reference's quantized word2vec consumption shape
+    (Word2VecCompress.java:45-96). Pass the result as ``wvec_bc`` to
+    build_broadcasts / link_mentions / link_and_extract; words missing
+    from the table are OOV and skipped in context scoring."""
+    pdf = vectors.toPandas()
+    wv = {
+        r.word: np.asarray(list(r.vec), dtype=np.float32)
+        for r in pdf.itertuples(index=False)
+    }
+    return spark.sparkContext.broadcast(wv)
+
+
+def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=None):
     """Collect the (small) KB side to the driver and broadcast it —
     the Spark analogue of the reference driver building LMDB caches
     between jobs (DumpExtractor.java:253-273,302-344). At real scale
@@ -92,12 +107,65 @@ def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame]):
     gaz = {k: spec.order_senses(v) for k, v in gaz.items()}
 
     ents = kb["entities"].select("entity_id", "context_vocab").toPandas()
+    vec_fn = spec.store_vec_fn(wvec_bc.value) if wvec_bc is not None else None
     evecs = {
-        int(r.entity_id): spec.centroid(list(r.context_vocab))
+        int(r.entity_id): spec.centroid(list(r.context_vocab), vec_fn)
         for r in ents.itertuples(index=False)
     }
     sc = spark.sparkContext
     return sc.broadcast(gaz), sc.broadcast(evecs)
+
+
+def _score_senses(senses, tokens, begin, end, evecs, score_mode, ctx_cache, vec_fn=None):
+    """Candidate scores for one mention span, shared by both kernels.
+    Modes (spec.SCORE_MODES): centroid cosine, LR logistic context
+    (LREntityScorer.java:36-50), or prior-only. The per-span ctx cache
+    avoids recomputing the context when a span has many candidates.
+    ``vec_fn`` switches the word-vector source from the built-in
+    pseudo-embedding to a file-backed store (spec.store_vec_fn)."""
+    total = sum(s[1] for s in senses)
+    if score_mode == "prior":
+        return [
+            (eid, spec.score_candidate(occ / total if total else 0.0, 0.0, "prior"))
+            for eid, occ, _doc in senses
+        ]
+    key = (begin, end)
+    if score_mode == "lr":
+        ctx_words = ctx_cache.get(key)
+        if ctx_words is None:
+            ctx_words = tokens[:begin] + tokens[end:]
+            ctx_cache[key] = ctx_words
+        return [
+            (
+                eid,
+                spec.score_candidate(
+                    occ / total if total else 0.0,
+                    spec.lr_context_score(
+                        ctx_words, evecs[eid], vec_fn or _cached_word_vec
+                    ),
+                    "lr",
+                ),
+            )
+            for eid, occ, _doc in senses
+        ]
+    ctx = ctx_cache.get(key)
+    if ctx is None:
+        ctx_words = tokens[:begin] + tokens[end:]
+        ctx = (
+            _centroid_cached(ctx_words)
+            if vec_fn is None
+            else spec.centroid(ctx_words, vec_fn)
+        )
+        ctx_cache[key] = ctx
+    return [
+        (
+            eid,
+            spec.score_candidate(
+                occ / total if total else 0.0, spec.cosine(ctx, evecs[eid]), "centroid"
+            ),
+        )
+        for eid, occ, _doc in senses
+    ]
 
 
 def link_mentions(
@@ -105,6 +173,8 @@ def link_mentions(
     gaz_bc,
     evec_bc,
     n_partitions: int | None = None,
+    score_mode: str = "centroid",
+    wvec_bc=None,
 ) -> DataFrame:
     """conversations → linked mentions.
 
@@ -120,6 +190,7 @@ def link_mentions(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = gaz_bc.value
         evecs = evec_bc.value
+        vec_fn = spec.store_vec_fn(wvec_bc.value) if wvec_bc is not None else None
         idx = _first_token_index(gaz, cache_key)
         for pdf in batches:
             out: dict[str, list] = {
@@ -134,20 +205,12 @@ def link_mentions(
                 found = spec.detect_mentions(tokens, gaz, idx)
                 if not found:
                     continue
-                ctx_cache: dict[tuple[int, int], np.ndarray] = {}
+                ctx_cache: dict = {}
                 for begin, end, surface in found:
-                    senses = gaz[surface]
-                    total = sum(s[1] for s in senses)
-                    key = (begin, end)
-                    ctx = ctx_cache.get(key)
-                    if ctx is None:
-                        ctx = _centroid_cached(tokens[:begin] + tokens[end:])
-                        ctx_cache[key] = ctx
-                    cands = []
-                    for eid, occ, _doc in senses:
-                        prior = occ / total if total else 0.0
-                        cos = spec.cosine(ctx, evecs[eid])
-                        cands.append((eid, spec.score_candidate(prior, cos)))
+                    cands = _score_senses(
+                        gaz[surface], tokens, begin, end, evecs, score_mode,
+                        ctx_cache, vec_fn,
+                    )
                     picked = spec.pick_sense(cands)
                     if picked is None:
                         continue
@@ -178,6 +241,8 @@ def link_and_extract(
     evec_bc,
     canon_bc,
     n_partitions: int | None = None,
+    score_mode: str = "centroid",
+    wvec_bc=None,
 ) -> DataFrame:
     """Fused map-side pipeline: detection + linking + canonicalization
     + per-turn-window triple extraction in ONE Arrow pass.
@@ -206,6 +271,7 @@ def link_and_extract(
         gaz = gaz_bc.value
         evecs = evec_bc.value
         canon = canon_bc.value
+        vec_fn = spec.store_vec_fn(wvec_bc.value) if wvec_bc is not None else None
         idx = _first_token_index(gaz, cache_key)
         prev_conv: str | None = None
         prev_set: set[int] = set()
@@ -227,20 +293,12 @@ def link_and_extract(
                 tokens = spec.tokenize(row.text or "")
                 cur: set[int] = set()
                 if tokens:
+                    ctx_cache: dict = {}
                     for begin, end, surface in spec.detect_mentions(tokens, gaz, idx):
-                        senses = gaz[surface]
-                        total = sum(s[1] for s in senses)
-                        ctx = _centroid_cached(tokens[:begin] + tokens[end:])
-                        cands = [
-                            (
-                                eid,
-                                spec.score_candidate(
-                                    occ / total if total else 0.0,
-                                    spec.cosine(ctx, evecs[eid]),
-                                ),
-                            )
-                            for eid, occ, _doc in senses
-                        ]
+                        cands = _score_senses(
+                            gaz[surface], tokens, begin, end, evecs, score_mode,
+                            ctx_cache, vec_fn,
+                        )
                         picked = spec.pick_sense(cands)
                         if picked is not None:
                             cur.add(canon.get(picked[0], picked[0]))

@@ -65,20 +65,26 @@ def canonical_map(kb: dict[str, pd.DataFrame]) -> dict[int, int]:
     return {e: find(e) for e in parent}
 
 
-def entity_vectors(kb: dict[str, pd.DataFrame]) -> dict[int, np.ndarray]:
+def entity_vectors(
+    kb: dict[str, pd.DataFrame], vec_fn=None
+) -> dict[int, np.ndarray]:
     return {
-        int(r.entity_id): spec.centroid(list(r.context_vocab))
+        int(r.entity_id): spec.centroid(list(r.context_vocab), vec_fn)
         for r in kb["entities"].itertuples(index=False)
     }
 
 
 def run_oracle(
-    conversations: pd.DataFrame, kb: dict[str, pd.DataFrame]
+    conversations: pd.DataFrame,
+    kb: dict[str, pd.DataFrame],
+    score_mode: str = "centroid",
+    word_vectors: dict | None = None,
 ) -> dict[str, object]:
     gaz = build_gazetteer(kb)
     idx = spec.build_first_token_index(gaz)
     canon = canonical_map(kb)
-    evecs = entity_vectors(kb)
+    vec_fn = spec.store_vec_fn(word_vectors) if word_vectors is not None else None
+    evecs = entity_vectors(kb, vec_fn)
 
     conv_sorted = conversations.sort_values(["conv_id", "turn_idx"], kind="mergesort")
 
@@ -107,12 +113,19 @@ def run_oracle(
             senses = gaz[surface]
             total = sum(s[1] for s in senses)
             ctx_words = tokens[:begin] + tokens[end:]
-            ctx = spec.centroid(ctx_words)
+            ctx = (
+                spec.centroid(ctx_words, vec_fn) if score_mode == "centroid" else None
+            )
             cands = []
             for eid, occ, _doc in senses:
                 prior = occ / total if total else 0.0
-                cos = spec.cosine(ctx, evecs[eid])
-                cands.append((eid, spec.score_candidate(prior, cos)))
+                if score_mode == "prior":
+                    ctx_score = 0.0
+                elif score_mode == "lr":
+                    ctx_score = spec.lr_context_score(ctx_words, evecs[eid], vec_fn)
+                else:
+                    ctx_score = spec.cosine(ctx, evecs[eid])
+                cands.append((eid, spec.score_candidate(prior, ctx_score, score_mode)))
             picked = spec.pick_sense(cands)
             if picked is None:
                 continue

@@ -29,7 +29,10 @@ import numpy as np
 
 MAX_LABEL_TOKENS = 15
 MAX_LABEL_CHARS = 500
-BOUNDARY_RE = re.compile(r"[^\s{}()\"'.,;:\-_]+")
+# single source for the tokenizer pattern: compiled here for Python
+# kernels, exported for engine-side regexp_extract_all (Spark/DuckDB)
+BOUNDARY_PATTERN = r"[^\s{}()\"'.,;:\-_]+"
+BOUNDARY_RE = re.compile(BOUNDARY_PATTERN)
 EMBED_DIM = 32
 PRIOR_WEIGHT = 0.6
 CONTEXT_WEIGHT = 0.4
@@ -141,13 +144,59 @@ def word_vec(word: str) -> np.ndarray:
     return (v / nrm).astype(np.float32)
 
 
-def centroid(words: list[str]) -> np.ndarray:
-    """CentroidEntityScorer.java:34-55: mean of word vectors, normalized."""
-    if not words:
+def store_vec_fn(store: dict):
+    """Lookup over a {word: vector} store (file-backed word2vec):
+    exact key, then lowercase, None for OOV — shared by the Spark
+    kernels and the oracle so parity holds under a real vector table
+    (consumption shape of Word2VecCompress.java:45-96)."""
+
+    def fn(w: str):
+        v = store.get(w)
+        return v if v is not None else store.get(w.lower())
+
+    return fn
+
+
+def centroid(words: list[str], vec_fn=None) -> np.ndarray:
+    """CentroidEntityScorer.java:34-55: mean of word vectors, normalized.
+    ``vec_fn`` plugs in a real vector store (file-backed word2vec); it
+    may return None for out-of-vocabulary words, which are skipped —
+    the reference drops vectorless words before scoring
+    (EntityScorer.java context assembly via Word2VecCompress lookups).
+    The default pseudo-embedding covers every word (never None)."""
+    vf = vec_fn or word_vec
+    vecs = [v for v in (vf(w) for w in words) if v is not None]
+    if not vecs:
         return np.zeros(EMBED_DIM, dtype=np.float32)
-    m = np.mean([word_vec(w) for w in words], axis=0)
+    m = np.mean(vecs, axis=0)
     nrm = np.linalg.norm(m)
     return (m / nrm).astype(np.float32) if nrm > 0 else m.astype(np.float32)
+
+
+def lr_context_score(
+    ctx_words: list[str], entity_vec: np.ndarray, vec_fn=None
+) -> float:
+    """Logistic-regression context scorer (the reference's second
+    scorer, LREntityScorer.java:36-50, via entity2vec):
+    score = −Σ_w count_w · log(1 + exp(⟨word_vec_w, entity_vec⟩)).
+    Higher (less negative) is better. Vectorized over context words;
+    the summation order (first-occurrence order of distinct words) is
+    fixed so Spark kernel and oracle produce bit-identical floats."""
+    if not ctx_words:
+        return 0.0
+    from collections import Counter
+
+    vf = vec_fn or word_vec
+    pairs = [
+        (v, n) for v, n in ((vf(w), n) for w, n in Counter(ctx_words).items())
+        if v is not None  # OOV words skipped, like centroid()
+    ]
+    if not pairs:
+        return 0.0
+    M = np.stack([v for v, _ in pairs]).astype(np.float64)
+    c = np.array([n for _, n in pairs], dtype=np.float64)
+    d = M @ np.asarray(entity_vec, dtype=np.float64)
+    return float(-np.sum(c * np.log1p(np.exp(d))))
 
 
 def cosine(a: np.ndarray, b: np.ndarray) -> float:
@@ -164,10 +213,19 @@ def order_senses(senses: list[tuple[int, int, int]]) -> list[tuple[int, int, int
     return sorted(senses, key=lambda s: (-s[1], -s[2], s[0]))
 
 
-def score_candidate(prior: float, ctx_cos: float) -> float:
-    """Combined anchor-prior + context-similarity score. Deterministic:
-    pure float64 arithmetic, identical in oracle and UDF."""
-    return PRIOR_WEIGHT * prior + CONTEXT_WEIGHT * ctx_cos
+SCORE_MODES = ("centroid", "lr", "prior")
+
+
+def score_candidate(prior: float, ctx_score: float, mode: str = "centroid") -> float:
+    """Combined anchor-prior + context score. Deterministic: pure
+    float64 arithmetic, identical in oracle and UDF.
+    Modes: 'centroid' (ctx = cosine vs centroid,
+    CentroidEntityScorer.java:52-56), 'lr' (ctx = logistic context
+    score, LREntityScorer.java:36-50), 'prior' (anchor prior only —
+    the SQL-expressible mode used for cross-engine oracle checks)."""
+    if mode == "prior":
+        return prior
+    return PRIOR_WEIGHT * prior + CONTEXT_WEIGHT * ctx_score
 
 
 def pick_sense(

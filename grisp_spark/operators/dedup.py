@@ -159,53 +159,41 @@ def jaccard_pairs(
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Token-weighted SimHash: bit j of md5(token) votes ±1 weighted by
-    the token's occurrence count; signature bit = vote sum > 0. Hex
-    digit → int via instr('0123456789abcdef', d) − 1 (portable).
+    the token's occurrence count; signature bit = vote sum > 0.
 
-    Fully relational: explode tokens → per-(doc, token) counts →
-    explode bit positions → weighted vote agg → bit reassembly."""
+    Shuffle-lean formulation: the first ``bits`` md5 bits are packed
+    into ONE integer per (doc, token) row (``conv(hex, 16, 10)``), and
+    the per-bit votes become ``bits`` conditional sum-aggregates in a
+    single groupBy — no bit explosion, so the shuffle carries one row
+    per (doc, token) instead of ``bits``× that (the round-1 plan
+    inflated pre-shuffle volume 32×). Exact-integer identity with the
+    per-bit vote formulation: vote_j = 2·Σ(cnt·bit_j) − Σcnt, and
+    vote_j > 0 ⟺ 2·s_j > total."""
+    assert bits <= 32, "bit pack uses the first 8 hex chars (32 bits)"
     tok_counts = (
         docs.select("doc_id", F.explode(_tokens()).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.md5("token"))
-    )
-    bits_df = tok_counts.select(
-        "doc_id",
-        "cnt",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: (
-                    F.floor(
-                        (
-                            F.instr(
-                                F.lit("0123456789abcdef"),
-                                F.substring(F.col("h"), (j / F.lit(4)).cast("int") + 1, 1),
-                            )
-                            - 1
-                        )
-                        / F.pow(F.lit(2), 3 - F.pmod(j, F.lit(4)))
-                    )
-                    % 2
-                ).cast("int"),
-            )
-        ).alias("pos", "bit"),
-    )
-    votes = bits_df.groupBy("doc_id", "pos").agg(
-        F.sum(
-            F.when(F.col("bit") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
-        ).alias("vote")
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("vote") > 0, F.pow(F.lit(2), F.col("pos")).cast("long")
-                ).otherwise(F.lit(0))
-            ).alias("simhash")
+        # big-endian pack: hex digit d (weight 2^(3−j%4) at position
+        # j//4) lands at integer bit (31 − j), matching the oracle's
+        # instr-based per-digit extraction exactly
+        .withColumn(
+            "hbits", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
         )
-        .orderBy("doc_id")
     )
+    bit_j = lambda j: F.shiftright(F.col("hbits"), 31 - j).bitwiseAND(F.lit(1))
+    aggs = [F.sum("cnt").alias("total")] + [
+        F.sum(F.col("cnt") * bit_j(j)).alias(f"s{j}") for j in range(bits)
+    ]
+    votes = tok_counts.groupBy("doc_id").agg(*aggs)
+    sig = sum(
+        (
+            F.when(F.col(f"s{j}") * 2 > F.col("total"), F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(bits)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return votes.select("doc_id", sig.alias("simhash")).orderBy("doc_id")

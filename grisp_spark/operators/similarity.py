@@ -89,6 +89,48 @@ def neardup_pairs(emb: DataFrame, dim: int = 64, threshold: float = 0.4) -> Data
     )
 
 
+def neardup_pairs_lsh(
+    emb: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.4,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Near-duplicate pairs at corpus scale: LSH-bucket equi-join +
+    in-bucket exact cosine (the composition the module docstring
+    promises — ``neardup_pairs`` is the O(n²) small-scale baseline).
+
+    The only join is an equi-join on the bucket key, so the n² space
+    is never touched: at 10⁹ vectors with ``bits``-bit buckets each
+    bucket holds ~n/2^bits vectors and the pair space shrinks by
+    ~2^bits. Sign-bucket LSH guarantees recall only for pairs agreeing
+    on the leading sign bits (threshold 0.4 pairs almost always do;
+    raise recall via multi-probe or fewer bits). Candidate scoring is
+    the same dim-sequential Arrow kernel → cosines bit-match DuckDB."""
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), bits))
+    a = bucketed.select(
+        "bucket",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        norm(F.col("embedding"), dim).alias("na"),
+    )
+    b = bucketed.select(
+        "bucket",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        norm(F.col("embedding"), dim).alias("nb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn(
+            "cos", dot(F.col("ea"), F.col("eb"), dim) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("va", "vb", "cos")
+        .orderBy("va", "vb")
+    )
+
+
 def topk_bruteforce(
     emb: DataFrame, n_queries: int = 5, k: int = 10, dim: int = 64
 ) -> DataFrame:

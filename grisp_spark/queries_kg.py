@@ -19,10 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from grisp_spark.kg.spec import BOUNDARY_PATTERN
 from grisp_spark.sources.testdata import DERIVE_CONVERSATIONS_SQL, derive_conversations
 
 MIN_OCC = 10
 ADJ_CAP = 5
+
+# the tokenizer pattern as a DuckDB string literal (' doubled)
+_TOKEN_PAT_SQL = BOUNDARY_PATTERN.replace("'", "''")
 
 
 def _turn_tokens(conv: DataFrame) -> DataFrame:
@@ -195,6 +199,83 @@ def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc)
 
 
+def kg07_triples_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline, oracle-checked end-to-end: detection →
+    prior-only linking (spec score_mode='prior', pure SQL: argmax of
+    occ/total with the min-entity-id tie-break) → CC canonicalization
+    over surface-equivalence redirects → turn-window triples, hashed
+    against a DuckDB replay. kg06 stays as the full context-scored run
+    (numpy scoring isn't SQL-expressible).
+
+    Portability choices vs kg06: the real boundary tokenizer
+    (spec.BOUNDARY_PATTERN) on both engines, and dense row_number
+    entity ids instead of xxhash64 (DuckDB lacks xxhash64) — the
+    global window is over the aggregated sense table (hundreds of
+    rows after the MIN_OCC cut), not the corpus. Redirect rule:
+    a label's 'tool'-role sense redirects to the label's min-id
+    sense — one-level star components exercising the CC machinery
+    (deep chains are covered by q13/test_closure)."""
+    from grisp_spark.kg import canonicalize, linking, spec
+
+    conv = derive_conversations(spark, sf_dir)
+    toks = conv.select(
+        "conv_id",
+        "role",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(spec.BOUNDARY_PATTERN), 0)
+        ).alias("token"),
+    ).filter(F.length("token") >= 6)
+    keyed = toks.withColumn(
+        "label",
+        F.concat(F.upper(F.substring("token", 1, 1)), F.expr("substring(token, 2)")),
+    )
+    senses = keyed.groupBy("label", "role").agg(
+        F.count("*").alias("occ"), F.countDistinct("conv_id").alias("doc")
+    )
+    labs = (
+        senses.groupBy("label")
+        .agg(F.sum("occ").alias("tot"))
+        .filter(F.col("tot") >= MIN_OCC)
+        .select("label")
+    )
+    wl = W.partitionBy("label")
+    ent = (
+        senses.join(labs, "label")
+        # global row_number: the sense table is already aggregated and
+        # tiny, so the single-partition window is not a scale concern
+        .withColumn(
+            "entity_id", F.row_number().over(W.orderBy("label", "role")).cast("long")
+        )
+        .withColumn("min_eid", F.min("entity_id").over(wl))
+    )
+    entities = ent.select(
+        "entity_id",
+        F.col("label").alias("canonical_name"),
+        F.lit("article").alias("entity_type"),
+        F.array().cast("array<string>").alias("context_vocab"),
+        F.when(
+            (F.col("role") == "tool") & (F.col("entity_id") != F.col("min_eid")),
+            F.col("min_eid"),
+        ).alias("redirect_to"),
+        "occ",
+        "doc",
+    )
+    label_stats = ent.select(
+        "label",
+        "entity_id",
+        F.col("occ").alias("link_occ"),
+        F.col("doc").alias("link_doc"),
+        F.lit(True).alias("from_title"),
+        F.lit(False).alias("from_redirect"),
+    )
+    kb = {"entities": entities, "label_stats": label_stats}
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    canon_bc = canonicalize.canonical_map_broadcast(spark, entities)
+    return linking.link_and_extract(
+        conv, gaz_bc, evec_bc, canon_bc, score_mode="prior"
+    ).orderBy("conv_id", "turn_idx", "pred", "subj", "obj")
+
+
 _BASE = f"WITH conv AS ({DERIVE_CONVERSATIONS_SQL})"
 
 _TURN_TOKENS = """
@@ -286,6 +367,82 @@ ORACLES: dict[str, str] = {
         FROM edges GROUP BY src ORDER BY src
     """,
 }
+
+ORACLES["kg07_triples_prior"] = f"""
+    {_BASE},
+    tok AS (
+        SELECT conv_id, turn_idx, role, t.token AS token
+        FROM conv, UNNEST(regexp_extract_all(text, '{_TOKEN_PAT_SQL}')) t(token)
+        WHERE length(t.token) >= 6
+    ),
+    keyed AS (
+        SELECT conv_id, turn_idx, role,
+               upper(token[1]) || token[2:] AS label
+        FROM tok
+    ),
+    senses AS (
+        SELECT label, role, count(*) AS occ
+        FROM keyed GROUP BY label, role
+    ),
+    labs AS (
+        SELECT label FROM senses GROUP BY label HAVING sum(occ) >= {MIN_OCC}
+    ),
+    ent AS (
+        SELECT label, role, occ,
+               row_number() OVER (ORDER BY label, role) AS entity_id
+        FROM senses JOIN labs USING (label)
+    ),
+    -- prior-only linking: argmax occ/total ≡ argmax occ (same positive
+    -- divisor), tie-break min entity_id; canonicalization closed form:
+    -- a picked 'tool' sense rewrites to the label's min-id sense (the
+    -- component min of the one-level redirect star)
+    pick AS (
+        SELECT label,
+               CASE WHEN role = 'tool'
+                    THEN min(entity_id) OVER (PARTITION BY label)
+                    ELSE entity_id END AS canon_eid,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY occ DESC, entity_id ASC) AS rn
+        FROM ent
+    ),
+    picked AS (SELECT label, canon_eid FROM pick WHERE rn = 1),
+    matched AS (
+        SELECT k.conv_id, k.turn_idx, p.canon_eid AS eid
+        FROM keyed k JOIN picked p USING (label)
+    ),
+    turn_sets AS (
+        SELECT conv_id, turn_idx, list_sort(list_distinct(list(eid))) AS cur
+        FROM matched GROUP BY conv_id, turn_idx
+    ),
+    allt AS (
+        SELECT c.conv_id, c.turn_idx, c.role, c.tool,
+               coalesce(t.cur, CAST([] AS BIGINT[])) AS cur
+        FROM conv c LEFT JOIN turn_sets t USING (conv_id, turn_idx)
+    ),
+    w AS (
+        SELECT conv_id, turn_idx, role, tool, cur,
+               coalesce(lag(cur) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                        CAST([] AS BIGINT[])) AS prev
+        FROM allt
+    ),
+    trip AS (
+        SELECT conv_id, turn_idx, t.e AS subj, 'mentioned_by' AS pred, role AS obj
+        FROM w, UNNEST(cur) t(e)
+        UNION ALL
+        SELECT conv_id, turn_idx, t.e AS subj, 'used_with_tool' AS pred, tool AS obj
+        FROM w, UNNEST(cur) t(e) WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id, turn_idx, a.e AS subj, 'co_occurs_with' AS pred,
+               CAST(b.e AS VARCHAR) AS obj
+        FROM w,
+             UNNEST(list_sort(list_distinct(cur || prev))) a(e),
+             UNNEST(list_sort(list_distinct(cur || prev))) b(e)
+        WHERE a.e < b.e AND (list_contains(cur, a.e) OR list_contains(cur, b.e))
+    )
+    SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+           CAST(subj AS BIGINT) AS subj, pred, obj
+    FROM trip ORDER BY conv_id, turn_idx, pred, subj, obj
+"""
 
 QUERIES = {
     name: fn

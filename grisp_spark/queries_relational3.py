@@ -82,6 +82,109 @@ def q25_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q26_wikidata_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 2 end-to-end (ProcessWikiData.java:471-487): a
+    wikidata JSON dump + per-language page_props INSERT dumps are
+    synthesized deterministically from the customer table, parsed by
+    the real source scanners (sources/sqldump), and accumulated into
+    the per-Q-id {lang: page_id} map. P-ids, non-wikibase_item props,
+    and Q-ids absent from the dump all exercise the filters; the map
+    is emitted '|'-flattened for the driver canon. The oracle computes
+    the expected mapping directly from the base table — so the string
+    parse → filter → join → map pipeline is what's being checked."""
+    from grisp_spark.kg import backbone
+
+    idc = F.col("c_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey").filter(idc <= 500)
+    prefix = F.when(idc % 10 == 0, F.lit("P")).otherwise(F.lit("Q"))
+    json_lines = cust.select(
+        F.concat(
+            F.lit('{"id":"'), prefix, idc.cast("string"), F.lit('","type":"item"}')
+        ).alias("value")
+    )
+    en_lines = cust.filter(idc % 3 != 0).select(
+        F.concat(
+            F.lit("INSERT INTO `page_props` VALUES ("),
+            idc.cast("string"),
+            F.lit(",'wikibase_item','Q"),
+            idc.cast("string"),
+            F.lit("',NULL);"),
+        ).alias("value")
+    )
+    decoys = cust.filter(idc % 5 == 0).select(
+        F.concat(
+            F.lit("INSERT INTO `page_props` VALUES ("),
+            idc.cast("string"),
+            F.lit(",'page_image','img.png',0.5);"),
+        ).alias("value")
+    )
+    fr_lines = cust.filter(idc % 2 == 0).select(
+        F.concat(
+            F.lit("INSERT INTO `page_props` VALUES ("),
+            (idc + 100000).cast("string"),
+            F.lit(",'wikibase_item','Q"),
+            idc.cast("string"),
+            F.lit("',NULL);"),
+        ).alias("value")
+    )
+    df = backbone.wikidata_backbone(
+        json_lines, {"en": en_lines.unionByName(decoys), "fr": fr_lines}
+    )
+    return df.select(
+        "qid",
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries("mapping"),
+                    lambda e: F.concat_ws(":", e.key, e.value.cast("string")),
+                )
+            ),
+            "|",
+        ).alias("mapping"),
+    ).orderBy("qid")
+
+
+def q27_translations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 3 end-to-end (ProcessTranslation.java:310-331):
+    langlinks INSERT dumps synthesized from customer, parsed, language-
+    whitelisted ('xx' rows dropped), '%'/',' titles percent-escaped
+    (C8), accumulated into the per-page {lang: title} map, flattened
+    for the driver canon."""
+    from grisp_spark.kg import backbone
+
+    idc = F.col("c_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name").filter(
+        idc <= 500
+    )
+
+    def line(lang: str, title_col, pid_col):
+        return F.concat(
+            F.lit("INSERT INTO `langlinks` VALUES ("),
+            pid_col.cast("string"),
+            F.lit(f",'{lang}','"),
+            title_col,
+            F.lit("');"),
+        ).alias("value")
+
+    fr = cust.select(line("fr", F.concat(F.col("c_name"), F.lit(",fr%")), idc))
+    de = cust.filter(idc % 2 == 0).select(line("de", F.col("c_name"), idc))
+    xx = cust.filter(idc % 3 == 0).select(line("xx", F.lit("dropped"), idc))
+    lines = fr.unionByName(de).unionByName(xx)
+    df = backbone.translations(lines)
+    return df.select(
+        "page_id",
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries("translations"),
+                    lambda e: F.concat_ws(":", e.key, e.value),
+                )
+            ),
+            "|",
+        ).alias("translations"),
+    ).orderBy("page_id")
+
+
 ORACLES: dict[str, str] = {
     "q22_running_window": """
         SELECT user_id, event_id,
@@ -101,6 +204,45 @@ ORACLES: dict[str, str] = {
                        ORDER BY n_chars DESC, doc_id ASC) AS rn
             FROM documents
         ) WHERE rn = 1 ORDER BY lang, source
+    """,
+    "q26_wikidata_backbone": """
+        WITH base AS (SELECT c_custkey AS id FROM customer WHERE c_custkey <= 500),
+        qids AS (
+            SELECT 'Q' || CAST(id AS VARCHAR) AS qid FROM base WHERE id % 10 <> 0
+        ),
+        props AS (
+            SELECT 'Q' || CAST(id AS VARCHAR) AS qid, 'en' AS lang,
+                   id AS page_id
+            FROM base WHERE id % 3 <> 0
+            UNION ALL
+            SELECT 'Q' || CAST(id AS VARCHAR), 'fr', id + 100000
+            FROM base WHERE id % 2 = 0
+        ),
+        j AS (SELECT q.qid, p.lang, p.page_id
+              FROM qids q LEFT JOIN props p USING (qid))
+        SELECT qid,
+               coalesce(array_to_string(
+                   list_sort(list_filter(
+                       list(lang || ':' || CAST(page_id AS VARCHAR)),
+                       x -> x IS NOT NULL)), '|'), '') AS mapping
+        FROM j GROUP BY qid ORDER BY qid
+    """,
+    "q27_translations": """
+        WITH base AS (
+            SELECT c_custkey AS id, c_name FROM customer WHERE c_custkey <= 500
+        ),
+        rows_ AS (
+            SELECT id AS page_id, 'fr' AS lang,
+                   replace(replace(c_name || ',fr%', '%', '%25'), ',', '%2C') AS title
+            FROM base
+            UNION ALL
+            SELECT id, 'de', replace(replace(c_name, '%', '%25'), ',', '%2C')
+            FROM base WHERE id % 2 = 0
+        )
+        SELECT page_id,
+               array_to_string(list_sort(list(lang || ':' || title)), '|')
+                 AS translations
+        FROM rows_ GROUP BY page_id ORDER BY page_id
     """,
     "q25_exact_percentiles": """
         SELECT event_type,

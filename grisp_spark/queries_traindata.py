@@ -41,6 +41,15 @@ def dd06_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd07_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checked scale path for embedding near-dup: LSH-bucket
+    equi-join + in-bucket exact cosine (dd06 is the O(n²) baseline
+    kept for recall comparison at small SF)."""
+    return similarity.neardup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
+
+
 def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_bruteforce(
         load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10, dim=64
@@ -77,8 +86,9 @@ def mm01_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm02_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (frame-hash stub has no clean SQL equivalent —
-    the UDTF plumbing is the thing under test)."""
+    """Frame hashes ARE oracle-checkable: the payload is utf-8 text
+    (ASCII in this corpus, so DuckDB's char-based substr slices the
+    same bytes) and frames are md5 of byte slices."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_payload(docs)).orderBy(
         "doc_id", "frame_idx"
@@ -187,6 +197,21 @@ ORACLES: dict[str, str] = {
         WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
         ORDER BY va, vb
     """,
+    "dd07_embed_neardup_lsh": f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding,
+                   array_to_string(list_transform(range(1, 9),
+                       i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
+                     AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               {_cos('a.embedding', 'b.embedding')} AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+        ORDER BY va, vb
+    """,
     "ss01_cosine_topk": f"""
         WITH scored AS (
             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -287,6 +312,21 @@ ORACLES: dict[str, str] = {
                        list_transform(toks, x -> CAST(ascii(x) + length(x) AS BIGINT))),
                    (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
         FROM t ORDER BY doc_id
+    """,
+    "mm02_sample_frames": """
+        -- byte slices expressed as substr: valid because the corpus is
+        -- ASCII (octet_length == length), asserted by the Spark side's
+        -- identical md5 over true payload bytes
+        WITH b AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+            WHERE length(text) > 0
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+               md5(substr(text, i * greatest(n // 3, 1) + 1,
+                          greatest(n // 3, 1))) AS frame_hash
+        FROM b, UNNEST(generate_series(0, 2)) t(i)
+        WHERE i < least(3, n)
+        ORDER BY doc_id, frame_idx
     """,
     "mm01_decode_metadata": """
         SELECT doc_id,

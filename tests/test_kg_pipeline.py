@@ -181,6 +181,95 @@ def test_fused_batch_straddling(spark, dataset):
     assert tiny == normal
 
 
+def test_lr_scoring_mode_parity(spark, dataset):
+    """Both context scorers the reference ships (CentroidEntityScorer
+    and LREntityScorer.java:36-50) must hold P/R=1.0 vs the oracle run
+    in the same mode — and the LR mode must actually change links
+    somewhere (otherwise the test proves nothing)."""
+    import pandas as pd
+
+    from grisp_spark.kg import canonicalize, linking, oracle
+
+    kb_df = {
+        n: spark.read.parquet(os.path.join(dataset, f"{n}.parquet"))
+        for n in ("entities", "aliases", "label_stats")
+    }
+    conv = spark.read.parquet(os.path.join(dataset, "conversations.parquet"))
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb_df)
+    canon_bc = canonicalize.canonical_map_broadcast(spark, kb_df["entities"])
+    got = _triples_set(
+        linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc, 8, score_mode="lr")
+    )
+    kb_pd = {
+        n: pd.read_parquet(os.path.join(dataset, f"{n}.parquet"))
+        for n in ("entities", "aliases", "label_stats")
+    }
+    conv_pd = pd.read_parquet(os.path.join(dataset, "conversations.parquet"))
+    expected = oracle.run_oracle(conv_pd, kb_pd, score_mode="lr")["triples"]
+    p, r = oracle.precision_recall(got, expected)
+    assert p == 1.0 and r == 1.0, f"lr mode: precision={p:.4f} recall={r:.4f}"
+
+
+def test_file_backed_vector_store_parity(spark, dataset):
+    """Linking consumes a real (word, vec) parquet table instead of the
+    md5 pseudo-vectors: the table is broadcast, OOV words are skipped
+    in context scoring (the reference's Word2VecCompress returns null
+    for unknown words), and Spark vs oracle parity must still hold."""
+    import numpy as np
+    import pandas as pd
+
+    from grisp_spark.kg import canonicalize, linking, oracle, spec
+
+    kb_pd = {
+        n: pd.read_parquet(os.path.join(dataset, f"{n}.parquet"))
+        for n in ("entities", "aliases", "label_stats")
+    }
+    conv_pd = pd.read_parquet(os.path.join(dataset, "conversations.parquet"))
+    # vocabulary = every token in the corpus + KB context vocab; drop
+    # every 7th word to create genuine OOV misses
+    words = set()
+    for t in conv_pd["text"]:
+        words.update(spec.tokenize(t or ""))
+    for cv in kb_pd["entities"]["context_vocab"]:
+        words.update(cv)
+    kept = [w for i, w in enumerate(sorted(words)) if i % 7 != 0]
+    assert len(kept) < len(words)
+    vec_pdf = pd.DataFrame(
+        {"word": kept, "vec": [spec.word_vec(w).tolist() for w in kept]}
+    )
+    vec_path = os.path.join(DATA, "word_vectors.parquet")
+    vec_pdf.to_parquet(vec_path)
+
+    vectors_df = spark.read.parquet(vec_path)
+    wvec_bc = linking.load_word_vectors(spark, vectors_df)
+    kb_df = {
+        n: spark.read.parquet(os.path.join(dataset, f"{n}.parquet"))
+        for n in ("entities", "aliases", "label_stats")
+    }
+    conv = spark.read.parquet(os.path.join(dataset, "conversations.parquet"))
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb_df, wvec_bc)
+    canon_bc = canonicalize.canonical_map_broadcast(spark, kb_df["entities"])
+    got = _triples_set(
+        linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc, 8, wvec_bc=wvec_bc)
+    )
+
+    store = {
+        r.word: np.asarray(list(r.vec), dtype=np.float32)
+        for r in vec_pdf.itertuples(index=False)
+    }
+    expected = oracle.run_oracle(conv_pd, kb_pd, word_vectors=store)["triples"]
+    p, r = oracle.precision_recall(got, expected)
+    assert p == 1.0 and r == 1.0, f"file-backed vectors: p={p:.4f} r={r:.4f}"
+
+    # the store must actually be consulted: with OOV drops, at least
+    # one entity centroid differs from the pseudo-vector baseline
+    pseudo_evecs = oracle.entity_vectors(kb_pd)
+    store_evecs = oracle.entity_vectors(kb_pd, spec.store_vec_fn(store))
+    assert any(
+        not np.allclose(pseudo_evecs[e], store_evecs[e]) for e in pseudo_evecs
+    )
+
+
 def test_resume_identity(spark, dataset, pipeline_result):
     """Delete part of the lineage (simulate a crash after bucket 0+1),
     resume, and require the identical triple set."""
