@@ -49,6 +49,8 @@ HEADLINE = [
     "dd03_minhash_lsh_pairs",
     "dd05_simhash",
     "dd06_embed_neardup",
+    "dd07_embed_neardup_lsh",
+    "dd08_embed_neardup_lsh_multi",
     "ss01_cosine_topk",
     "ta04_fingerprint",
     "kg01_label_stats",

@@ -32,20 +32,19 @@ def resolve_chains(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     cur = edges.select("src", "dst")
     for _ in range(max_rounds):
         a, b = cur.alias("a"), cur.alias("b")
+        # the moved flag rides the round's own join (advanced iff the
+        # jump target exists and differs) — probing convergence via a
+        # second nxt⋈cur join would double the per-round shuffle cost
         nxt = a.join(b, F.col("a.dst") == F.col("b.src"), "left").select(
             F.col("a.src").alias("src"),
             F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
+            (
+                F.col("b.dst").isNotNull() & (F.col("b.dst") != F.col("a.dst"))
+            ).alias("moved"),
         )
         nxt = nxt.localCheckpoint(eager=True)
-        # converged when no pointer advanced this round
-        moved = (
-            nxt.alias("n")
-            .join(cur.alias("c"), F.col("n.src") == F.col("c.src"))
-            .filter(F.col("n.dst") != F.col("c.dst"))
-            .limit(1)
-            .count()
-        )
-        cur = nxt
+        moved = nxt.filter("moved").limit(1).count()
+        cur = nxt.select("src", "dst")
         if moved == 0:
             break
     return cur.select("src", F.col("dst").alias("terminal"))

@@ -131,6 +131,87 @@ def neardup_pairs_lsh(
     )
 
 
+def lsh_bucket_slice(col, start: int, bits: int):
+    """Sign-bit bucket over dims [start, start+bits) — one hash table
+    of a multi-table LSH family."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(start), F.lit(start + bits - 1)),
+            lambda i: F.when(F.element_at(col, i) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+        "",
+    )
+
+
+def neardup_pairs_lsh_multi(
+    emb: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_tables: int = 4,
+    bits: int = 4,
+) -> DataFrame:
+    """Multi-table LSH near-dup: ``n_tables`` independent sign-bucket
+    tables over disjoint dim slices; a pair is a candidate if it
+    collides in ANY table (union), then verified with exact cosine.
+
+    Recall for a pair with angle θ is 1 − (1 − p^bits)^n_tables with
+    p = 1 − θ/π — tunable to ~1 for true near-dups (cos ≥ 0.9) while
+    each table's join stays an equi-join on a short bucket key. This
+    is the standard L-tables construction (e.g. Indyk-Motwani LSH);
+    the single-table variant (``neardup_pairs_lsh``) trades recall for
+    one fewer shuffle. Shuffle volume: n_tables × corpus (table id is
+    part of the join key, so one shuffle of the exploded frame).
+    """
+    # norm is computed BEFORE the table explode (once per vector, and
+    # keeping the pandas UDF out of the exploded self-join sides —
+    # UDF projections mixed into posexplode'd join inputs trip a
+    # Catalyst attribute-binding bug, INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    with_norm = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding"), dim).alias("nrm")
+    )
+    tables = with_norm.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_bucket_slice(F.col("embedding"), 1 + t * bits, bits)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("table_id", "bucket"),
+    )
+    a = tables.select(
+        "table_id", "bucket",
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = tables.select(
+        "table_id", "bucket",
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", "ea", "eb", "na", "nb")
+        # union across tables: drop duplicate collisions BEFORE the
+        # cosine verify so each candidate pair is scored once
+        .dropDuplicates(["va", "vb"])
+    )
+    scored = cand.withColumn(
+        "cos", dot(F.col("ea"), F.col("eb"), dim) / (F.col("na") * F.col("nb"))
+    )
+    return (
+        scored.filter(F.col("cos") >= threshold)
+        .select("va", "vb", "cos")
+        .orderBy("va", "vb")
+    )
+
+
 def topk_bruteforce(
     emb: DataFrame, n_queries: int = 5, k: int = 10, dim: int = 64
 ) -> DataFrame:
@@ -149,6 +230,72 @@ def topk_bruteforce(
     scored = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).withColumn(
         "cos",
         dot(F.col("q_emb"), F.col("c_emb"), dim) / (F.col("q_norm") * F.col("c_norm")),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def topk_ivf(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its
+    nearest-centroid cell, then search only the query's cell
+    (probe=1). Centroids here are the first ``n_cells`` corpus vectors
+    (deterministic stand-in for k-means — the index structure, cell
+    assignment, and probe-limited search are the real thing).
+
+    Scale shape: assignment is a broadcast cross-join against
+    ``n_cells`` rows (no corpus shuffle) + one window per vec_id;
+    search is an equi-join on cell — candidates shrink ~n/n_cells,
+    and multi-probe raises recall by unioning more cells."""
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding"), dim).alias("c_norm"),
+    )
+    with_norm = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding"), dim).alias("nrm")
+    )
+    scored_cells = with_norm.join(F.broadcast(cents)).withColumn(
+        "ccos",
+        dot(F.col("embedding"), F.col("c_emb"), dim)
+        / (F.col("nrm") * F.col("c_norm")),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    assigned = (
+        scored_cells.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("cid").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+        "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("c_emb"), dim)
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (

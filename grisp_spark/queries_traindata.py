@@ -50,6 +50,17 @@ def dd07_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd08_embed_neardup_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH near-dup (L=4 tables × 4 sign bits over
+    disjoint dim slices, union of collisions, exact-cosine verify) —
+    the tunable-recall scale path; see
+    tests/test_similarity_recall.py for the measured recall ladder
+    dd07 < dd08 ≤ dd06."""
+    return similarity.neardup_pairs_lsh_multi(
+        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
+
+
 def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_bruteforce(
         load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10, dim=64
@@ -58,6 +69,14 @@ def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ss02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_lsh(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5, dim=64
+    )
+
+
+def ss03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (probe=1): nearest-centroid cell assignment + in-cell
+    exact search — the index-structure counterpart to ss02's LSH."""
+    return similarity.topk_ivf(
         load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5, dim=64
     )
 
@@ -212,6 +231,26 @@ ORACLES: dict[str, str] = {
         WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
         ORDER BY va, vb
     """,
+    "dd08_embed_neardup_lsh_multi": f"""
+        WITH tabs AS (
+            SELECT vec_id, embedding, tid,
+                   array_to_string(list_transform(range(1 + tid * 4, 5 + tid * 4),
+                       i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
+                     AS bucket
+            FROM embeddings, UNNEST(generate_series(0, 3)) tt(tid)
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM tabs a JOIN tabs b
+              ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.va, c.vb, {_cos('x.embedding', 'y.embedding')} AS cos
+        FROM cand c
+        JOIN embeddings x ON c.va = x.vec_id
+        JOIN embeddings y ON c.vb = y.vec_id
+        WHERE {_cos('x.embedding', 'y.embedding')} >= 0.4
+        ORDER BY va, vb
+    """,
     "ss01_cosine_topk": f"""
         WITH scored AS (
             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -241,6 +280,36 @@ ORACLES: dict[str, str] = {
               ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
             WHERE q.vec_id < 5
         ), ranked AS (
+            SELECT q_id, c_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id ASC) AS rank
+            FROM scored
+        )
+        SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    "ss03_ivf_ann": f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS c_emb
+            FROM embeddings WHERE vec_id < 4
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cid AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_cos('e.embedding', 'c.c_emb')} DESC,
+                                    c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   {_cos('q.embedding', 'c.embedding')} AS cos
+            FROM assigned q JOIN assigned c
+              ON q.cell = c.cell AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+        ),
+        ranked AS (
             SELECT q_id, c_id, cos,
                    row_number() OVER (PARTITION BY q_id
                                       ORDER BY cos DESC, c_id ASC) AS rank

@@ -184,8 +184,7 @@ def test_fused_batch_straddling(spark, dataset):
 def test_lr_scoring_mode_parity(spark, dataset):
     """Both context scorers the reference ships (CentroidEntityScorer
     and LREntityScorer.java:36-50) must hold P/R=1.0 vs the oracle run
-    in the same mode — and the LR mode must actually change links
-    somewhere (otherwise the test proves nothing)."""
+    in the same mode."""
     import pandas as pd
 
     from grisp_spark.kg import canonicalize, linking, oracle

@@ -64,6 +64,28 @@ def test_linking_stage_single_shuffle(spark):
     assert "MapInPandas" in plan
 
 
+def test_neardup_lsh_is_equijoin(spark, sf_dir):
+    """dd07's candidate generation must be a bucket equi-join — the
+    O(n²) theta-join shape (BroadcastNestedLoopJoin / CartesianProduct)
+    is allowed only in the dd06 baseline."""
+    df = entry_mod.queries()["dd07_embed_neardup_lsh"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_simhash_no_bit_explosion(spark, sf_dir):
+    """dd05: exactly one Generate (the token explode) — the per-bit
+    posexplode would inflate pre-shuffle rows 32×; bit votes are
+    aggregate expressions over the packed md5 int instead."""
+    df = entry_mod.queries()["dd05_simhash"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Generate") == 1, plan
+    # two aggregation shuffles: (doc_id, token) counts, then doc votes
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_adjacency_single_shuffle(spark, sf_dir):
     """A5 adjacency: one shuffle for the groupBy, nothing else."""
     df = entry_mod.queries()["q08_adjacency_out"](spark, sf_dir)

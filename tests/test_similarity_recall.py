@@ -1,0 +1,70 @@
+"""Recall characterization of the LSH near-dup scale paths against the
+brute-force ground truth (dd06) at sf0.01.
+
+Sign-bucket LSH recall for a pair with angle θ is p^bits per table
+with p = 1 − θ/π, and 1 − (1 − p^bits)^L over L tables — so the
+multi-table variant must dominate the single-table one, and true
+near-duplicates (high cosine) must be caught reliably. These are the
+recall/cost knobs a 100 TB run tunes; this test pins the ladder so a
+refactor can't silently destroy recall."""
+
+import pytest
+
+from grisp_spark.operators import similarity
+from grisp_spark.sources.testdata import load_table
+
+
+def _pairs(df):
+    return {(r.va, r.vb) for r in df.select("va", "vb").collect()}
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    # NOTE: fresh frame per operator, no .cache() — sharing/caching a
+    # frame across several pandas-UDF self-joins trips a Catalyst
+    # attribute rebinding bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    def fresh():
+        return load_table(spark, sf_dir, "embeddings")
+
+    return fresh
+
+
+def test_lsh_recall_ladder(emb):
+    truth = _pairs(similarity.neardup_pairs(emb(), threshold=0.4))
+    single = _pairs(similarity.neardup_pairs_lsh(emb(), threshold=0.4))
+    multi = _pairs(similarity.neardup_pairs_lsh_multi(emb(), threshold=0.4))
+    # LSH candidates are a subset of the exact pair set (no false
+    # positives possible: the verify step applies the same threshold)
+    assert single <= truth
+    assert multi <= truth
+    # 4 tables × 4 bits dominates 1 table × 8 bits in expectation:
+    # p^4·(4 tables) vs p^8 — require it on this corpus too
+    assert len(multi) >= len(single)
+
+
+def test_multi_table_recall_on_true_neardups(spark):
+    """True near-dups (cos ≥ 0.9, θ ≤ 26°, p ≈ 0.86 per sign bit) must
+    be found with high probability: expected recall 1−(1−0.86⁴)⁴ ≈ 0.93
+    for L=4 tables × 4 bits. The testdata corpus has no cos≥0.9 pairs,
+    so plant them: 100 base vectors + a perturbed copy of each
+    (deterministic seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 64)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # σ=0.04 per dim → noise norm ≈ 0.04·√64 = 0.32 → cos ≈ 0.95
+    dup = base + 0.04 * rng.standard_normal((100, 64)).astype(np.float32)
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(100)] + [
+        (100 + i, dup[i].tolist()) for i in range(100)
+    ]
+
+    def fresh():
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    truth = _pairs(similarity.neardup_pairs(fresh(), threshold=0.9))
+    assert len(truth) >= 80, f"planting failed: only {len(truth)} true pairs"
+    multi = _pairs(similarity.neardup_pairs_lsh_multi(fresh(), threshold=0.9))
+    recall = len(multi & truth) / len(truth)
+    assert recall >= 0.8, f"multi-table recall {recall:.2f} on {len(truth)} pairs"
