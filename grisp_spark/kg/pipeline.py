@@ -181,14 +181,21 @@ class KGPipeline:
             return self.spark.read.parquet(out)
         t0 = time.monotonic()
         df = build()
+        # observe() rides the write action (the Hadoop-counter
+        # replacement from SURVEY §7) — no second scan of the output
+        # just to count rows for lineage
+        from pyspark.sql import Observation
+
+        obs = Observation(f"{name}_rows")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         shutil.rmtree(out, ignore_errors=True)
         df.write.mode("overwrite").parquet(out)
-        result = self.spark.read.parquet(out)
         self.lineage.record(
-            name, -1, -1, result.count(), int((time.monotonic() - t0) * 1000)
+            name, -1, -1, int(obs.get["rows_out"]),
+            int((time.monotonic() - t0) * 1000),
         )
         self.lineage.mark_stage(name)
-        return result
+        return self.spark.read.parquet(out)
 
     def run(self, resume: bool = True) -> dict[str, DataFrame]:
         if not resume:

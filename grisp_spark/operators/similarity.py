@@ -150,31 +150,32 @@ def neardup_pairs_lsh_multi(
     dim: int = 64,
     threshold: float = 0.4,
     n_tables: int = 4,
-    bits: int = 4,
+    bits: int = 6,
 ) -> DataFrame:
     """Multi-table LSH near-dup: ``n_tables`` independent sign-bucket
     tables over disjoint dim slices; a pair is a candidate if it
     collides in ANY table (union), then verified with exact cosine.
 
     Recall for a pair with angle θ is 1 − (1 − p^bits)^n_tables with
-    p = 1 − θ/π — tunable to ~1 for true near-dups (cos ≥ 0.9) while
-    each table's join stays an equi-join on a short bucket key. This
-    is the standard L-tables construction (e.g. Indyk-Motwani LSH);
-    the single-table variant (``neardup_pairs_lsh``) trades recall for
-    one fewer shuffle. Shuffle volume: n_tables × corpus (table id is
-    part of the join key, so one shuffle of the exploded frame).
-    """
-    # norm is computed BEFORE the table explode (once per vector, and
-    # keeping the pandas UDF out of the exploded self-join sides —
-    # UDF projections mixed into posexplode'd join inputs trip a
-    # Catalyst attribute-binding bug, INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    p = 1 − θ/π — ≈0.87 for cos 0.9 at L=4, b=6, tunable to ~1 with
+    more tables, while each table's join stays an equi-join on a
+    short bucket key (standard Indyk-Motwani L-tables construction;
+    the single-table variant ``neardup_pairs_lsh`` trades recall for
+    fewer shuffles).
+
+    Plan shape, deliberately: candidate generation and the
+    cross-table union-dedup run over SLIM (id, id) rows — the 128-dim
+    payloads would otherwise ride every duplicate collision through
+    the dedup shuffle (measured 20× slower that way). Embeddings and
+    precomputed norms are joined back only for the surviving distinct
+    pairs. The pandas-UDF norm is projected BEFORE any explode/join
+    (UDF projections mixed into exploded self-join inputs trip a
+    Catalyst binding bug, INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)."""
     with_norm = emb.select(
         "vec_id", "embedding", norm(F.col("embedding"), dim).alias("nrm")
     )
-    tables = with_norm.select(
+    buckets = emb.select(
         "vec_id",
-        "embedding",
-        "nrm",
         F.posexplode(
             F.array(
                 *[
@@ -184,25 +185,23 @@ def neardup_pairs_lsh_multi(
             )
         ).alias("table_id", "bucket"),
     )
-    a = tables.select(
-        "table_id", "bucket",
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = tables.select(
-        "table_id", "bucket",
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
+    a = buckets.select("table_id", "bucket", F.col("vec_id").alias("va"))
+    b = buckets.select("table_id", "bucket", F.col("vec_id").alias("vb"))
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", "ea", "eb", "na", "nb")
-        # union across tables: drop duplicate collisions BEFORE the
-        # cosine verify so each candidate pair is scored once
-        .dropDuplicates(["va", "vb"])
+        .select("va", "vb")
+        .distinct()
     )
-    scored = cand.withColumn(
+    x = with_norm.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    y = with_norm.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = cand.join(x, "va").join(y, "vb").withColumn(
         "cos", dot(F.col("ea"), F.col("eb"), dim) / (F.col("na") * F.col("nb"))
     )
     return (

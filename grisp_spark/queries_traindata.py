@@ -51,7 +51,7 @@ def dd07_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd08_embed_neardup_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH near-dup (L=4 tables × 4 sign bits over
+    """Multi-table LSH near-dup (L=4 tables × 6 sign bits over
     disjoint dim slices, union of collisions, exact-cosine verify) —
     the tunable-recall scale path; see
     tests/test_similarity_recall.py for the measured recall ladder
@@ -234,7 +234,7 @@ ORACLES: dict[str, str] = {
     "dd08_embed_neardup_lsh_multi": f"""
         WITH tabs AS (
             SELECT vec_id, embedding, tid,
-                   array_to_string(list_transform(range(1 + tid * 4, 5 + tid * 4),
+                   array_to_string(list_transform(range(1 + tid * 6, 7 + tid * 6),
                        i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
                      AS bucket
             FROM embeddings, UNNEST(generate_series(0, 3)) tt(tid)

@@ -37,15 +37,15 @@ def test_lsh_recall_ladder(emb):
     # positives possible: the verify step applies the same threshold)
     assert single <= truth
     assert multi <= truth
-    # 4 tables × 4 bits dominates 1 table × 8 bits in expectation:
-    # p^4·(4 tables) vs p^8 — require it on this corpus too
+    # 4 tables × 6 bits dominates 1 table × 8 bits in expectation:
+    # 1−(1−p^6)^4 vs p^8 — require it on this corpus too
     assert len(multi) >= len(single)
 
 
 def test_multi_table_recall_on_true_neardups(spark):
     """True near-dups (cos ≥ 0.9, θ ≤ 26°, p ≈ 0.86 per sign bit) must
-    be found with high probability: expected recall 1−(1−0.86⁴)⁴ ≈ 0.93
-    for L=4 tables × 4 bits. The testdata corpus has no cos≥0.9 pairs,
+    be found with high probability: expected recall 1−(1−0.86⁶)⁴ ≈ 0.87
+    for L=4 tables × 6 bits. The testdata corpus has no cos≥0.9 pairs,
     so plant them: 100 base vectors + a perturbed copy of each
     (deterministic seed)."""
     import numpy as np
