@@ -65,6 +65,22 @@ class Lineage:
         shutil.rmtree(self.dir, ignore_errors=True)
         os.makedirs(self.dir, exist_ok=True)
 
+    def check_config(self, **config) -> bool:
+        """Guard resume against a changed partitioning config: lineage
+        written under a different n_buckets maps buckets to different
+        conv_id sets, so resuming across it would silently skip or
+        duplicate work. Returns True if the stored config matches (or
+        was just written); False means the caller must start fresh."""
+        path = os.path.join(self.dir, "config.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f) == config
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(config, f)
+        os.replace(tmp, path)
+        return True
+
 
 class KGPipeline:
     def __init__(
@@ -198,8 +214,13 @@ class KGPipeline:
         return self.spark.read.parquet(out)
 
     def run(self, resume: bool = True) -> dict[str, DataFrame]:
+        if resume and not self.lineage.check_config(n_buckets=self.n_buckets):
+            # stale lineage from a different bucket layout — recompute
+            # from scratch rather than resume across incompatible state
+            resume = False
         if not resume:
             self.lineage.clear()
+            self.lineage.check_config(n_buckets=self.n_buckets)
         linked = self.stage_linked(resume)
         kb = self.kb()
 

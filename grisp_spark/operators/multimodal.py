@@ -21,6 +21,12 @@ DECODE_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, format string"
 )
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+N_FEATURE_BINS = 8
+FEATURE_SCHEMA = "doc_id long, " + ", ".join(
+    f"b{i} int" for i in range(N_FEATURE_BINS)
+)
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, pixel_hash string"
+RESIZE_PIXELS = 16
 
 
 def attach_payload(docs: DataFrame) -> DataFrame:
@@ -67,6 +73,59 @@ def decode_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def extract_features(media: DataFrame, bins: int = N_FEATURE_BINS) -> DataFrame:
+    """Feature extraction over binary payloads: a ``bins``-bin
+    byte-value histogram per payload (numpy-vectorized over the raw
+    bytes — the stand-in for a real image/audio feature extractor
+    with identical batch plumbing). Integer counts as scalar columns
+    so the driver canon can hash them exactly."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": []}
+            for i in range(bins):
+                out[f"b{i}"] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr % bins, minlength=bins)
+                out["doc_id"].append(doc_id)
+                for i in range(bins):
+                    out[f"b{i}"].append(int(hist[i]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize(media: DataFrame, max_pixels: int = RESIZE_PIXELS) -> DataFrame:
+    """Resize stub: subsample the payload to ≤``max_pixels`` "pixels"
+    (every ceil(n/max)-th byte) and hash the result — the
+    decimate-then-rehash shape of a real thumbnailer, with the output
+    dims recorded as typed columns. Real implementation would be
+    PIL.Image.resize; unavailable in this container."""
+    import hashlib
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = ("doc_id", "out_w", "out_h", "pixel_hash")
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in out_cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if not b:
+                    continue
+                step = math.ceil(len(b) / max_pixels)
+                sampled = b[::step]
+                rows["doc_id"].append(doc_id)
+                rows["out_w"].append(len(sampled))
+                rows["out_h"].append(1)
+                rows["pixel_hash"].append(hashlib.md5(sampled).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 3) -> DataFrame:

@@ -114,6 +114,21 @@ def mm02_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm03_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (numpy byte histogram;
+    real plumbing, stand-in kernel). Integer bins → exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_payload(docs)).orderBy(
+        "doc_id"
+    )
+
+
+def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub: byte decimation + rehash (thumbnailer shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize(multimodal.attach_payload(docs)).orderBy("doc_id")
+
+
 _SHINGLES = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (
@@ -396,6 +411,50 @@ ORACLES: dict[str, str] = {
         FROM b, UNNEST(generate_series(0, 2)) t(i)
         WHERE i < least(3, n)
         ORDER BY doc_id, frame_idx
+    """,
+    "mm03_extract_features": """
+        -- ASCII corpus: char code points == payload bytes
+        WITH chars AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   count(*) FILTER (ascii(ch) % 8 = 0) AS b0,
+                   count(*) FILTER (ascii(ch) % 8 = 1) AS b1,
+                   count(*) FILTER (ascii(ch) % 8 = 2) AS b2,
+                   count(*) FILTER (ascii(ch) % 8 = 3) AS b3,
+                   count(*) FILTER (ascii(ch) % 8 = 4) AS b4,
+                   count(*) FILTER (ascii(ch) % 8 = 5) AS b5,
+                   count(*) FILTER (ascii(ch) % 8 = 6) AS b6,
+                   count(*) FILTER (ascii(ch) % 8 = 7) AS b7
+            FROM chars GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(b0, 0) AS INTEGER) AS b0,
+               CAST(coalesce(b1, 0) AS INTEGER) AS b1,
+               CAST(coalesce(b2, 0) AS INTEGER) AS b2,
+               CAST(coalesce(b3, 0) AS INTEGER) AS b3,
+               CAST(coalesce(b4, 0) AS INTEGER) AS b4,
+               CAST(coalesce(b5, 0) AS INTEGER) AS b5,
+               CAST(coalesce(b6, 0) AS INTEGER) AS b6,
+               CAST(coalesce(b7, 0) AS INTEGER) AS b7
+        FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id
+    """,
+    "mm04_resize": """
+        WITH b AS (
+            SELECT doc_id, text, length(text) AS n,
+                   CAST(ceil(length(text) / 16.0) AS BIGINT) AS step
+            FROM documents WHERE length(text) > 0
+        ), s AS (
+            SELECT doc_id,
+                   list_transform(range(0, (n - 1) // step + 1),
+                                  i -> substr(text, i * step + 1, 1)) AS px
+            FROM b
+        )
+        SELECT doc_id, CAST(len(px) AS INTEGER) AS out_w,
+               CAST(1 AS INTEGER) AS out_h,
+               md5(array_to_string(px, '')) AS pixel_hash
+        FROM s ORDER BY doc_id
     """,
     "mm01_decode_metadata": """
         SELECT doc_id,

@@ -324,6 +324,23 @@ def test_resume_lineage_outlived_output(spark, dataset, pipeline_result):
     assert _triples_set(result["triples"]) == baseline
 
 
+def test_resume_rejects_changed_bucket_layout(spark, dataset, pipeline_result):
+    """Resuming under a different n_buckets must NOT reuse lineage
+    written for the old layout (bucket→conv_id mapping changed): the
+    pipeline restarts fresh and still produces the identical triples."""
+    import shutil
+
+    baseline = _triples_set(pipeline_result["triples"])
+    out5 = OUT + "_relayout"
+    shutil.rmtree(out5, ignore_errors=True)
+    KGPipeline(spark, dataset, out5, n_buckets=4, n_partitions=8).run(resume=False)
+    pipe2 = KGPipeline(spark, dataset, out5, n_buckets=2, n_partitions=8)
+    result = pipe2.run(resume=True)
+    assert _triples_set(result["triples"]) == baseline
+    # lineage must now describe the NEW layout
+    assert set(pipe2.lineage.done_buckets("linked")) == {0, 1}
+
+
 def test_resume_after_midwrite_crash(spark, dataset, pipeline_result):
     """A bucket written to disk WITHOUT a lineage record (crash between
     write and record) must be rewritten, not double-appended."""

@@ -64,6 +64,19 @@ def test_linking_stage_single_shuffle(spark):
     assert "MapInPandas" in plan
 
 
+def test_session_scale_confs(spark):
+    """The skew/scale posture the north rule requires must be ON in
+    every session this package builds: AQE (runtime re-plan), AQE
+    skew-join split, partition coalescing, Arrow for pandas UDFs,
+    and the pinned UTC zone the oracle comparison depends on."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
 def test_neardup_lsh_is_equijoin(spark, sf_dir):
     """dd07's candidate generation must be a bucket equi-join — the
     O(n²) theta-join shape (BroadcastNestedLoopJoin / CartesianProduct)
