@@ -64,24 +64,69 @@ def classify_pages(pages: DataFrame) -> DataFrame:
     )
 
 
-LINK_RE = r"\[\[([^\[\]]+)\]\]"
+# outermost [[...]] regions with ONE level of nesting (enough for
+# File/Image captions that embed [[anchor links]] — the reference's
+# depth-tracking Util.gatherComplexRegions returns outermost regions;
+# its own tests exercise exactly one nesting level)
+LINK_RE = r"\[\[((?:[^\[\]]|\[\[[^\[\]]*\]\])+)\]\]"
+
+# SiteInfo namespace resolution (util/SiteInfo.java keys; multi-
+# language prefixes are a documented non-goal — single site config)
+FILE_NS = 6
+_NS_PREFIXES = {"category": CATEGORY_NS, "file": FILE_NS, "image": FILE_NS}
 
 
 def parse_links(pages: DataFrame) -> DataFrame:
-    """F5 wiki-link parse (model/DumpLinkParser.java:41-83):
-    [[ns:Target#Section|anchor]] → (target, section, anchor); anchor
-    defaults to the full markup before '|' handling."""
+    """F5 wiki-link parse (model/DumpLinkParser.java:41-83 +
+    CategoryTest/DumpLinkParserTest semantics):
+    [[ns:Target#Section|anchor]] → (target_ns, target_title, section,
+    anchor); anchor defaults to the target markup; namespace prefixes
+    (Category:/File:/Image:) resolve to their keys and are stripped
+    from the title, unknown prefixes remain main-namespace titles."""
     links = pages.select(
         "page_id",
         F.explode(F.regexp_extract_all("text", F.lit(LINK_RE), 1)).alias("markup"),
     )
-    parts = F.split(F.col("markup"), r"\|")
-    target_full = F.get(parts, 0)  # get() tolerates missing indexes
-    anchor = F.coalesce(F.nullif(F.get(parts, 1), F.lit("")), target_full)
-    tparts = F.split(target_full, "#")
+    target_full = F.substring_index(F.col("markup"), "|", 1)
+    rest = F.when(
+        F.col("markup").contains("|"),
+        F.regexp_replace(F.col("markup"), r"^[^|]*\|", ""),
+    )
+    anchor = F.coalesce(F.nullif(rest, F.lit("")), target_full)
+    prefix = F.when(
+        target_full.contains(":"),
+        F.lower(F.substring_index(target_full, ":", 1)),
+    )
+    ns_expr = F.coalesce(
+        *[
+            F.when(prefix == p, F.lit(k))
+            for p, k in sorted(_NS_PREFIXES.items())
+        ],
+        F.lit(MAIN_NS),
+    )
+    title = F.when(
+        ns_expr != MAIN_NS, F.regexp_replace(target_full, r"^[^:]*:", "")
+    ).otherwise(target_full)
+    tparts = F.split(title, "#")
     return links.select(
         "page_id",
+        ns_expr.alias("target_ns"),
         F.get(tparts, 0).alias("target_title"),
         F.coalesce(F.get(tparts, 1), F.lit("")).alias("section"),
         anchor.alias("anchor"),
     ).filter(F.col("target_title") != "")
+
+
+def parse_disambig_links(pages: DataFrame) -> DataFrame:
+    """Disambiguation sense extraction (DumpLinkParserTest
+    testLinkParserInDisambiguationText; Util.gatherComplexRegions with
+    the '\\*\\s*' prefix): the FIRST link of each '*' list line is the
+    disambiguated sense."""
+    lines = pages.select(
+        "page_id", F.explode(F.split("text", "\n")).alias("line")
+    ).filter(F.col("line").rlike(r"^\s*\*"))
+    first = F.regexp_extract("line", LINK_RE, 1)
+    target = F.substring_index(first, "|", 1)
+    return lines.select(
+        "page_id", F.substring_index(target, "#", 1).alias("sense_title")
+    ).filter(F.col("sense_title") != "")

@@ -92,6 +92,62 @@ def test_parse_links(spark, xml_file):
     }
 
 
+def test_parse_links_namespaces_and_nesting(spark):
+    """DumpLinkParserTest.java semantics: namespace-qualified links
+    resolve (Category→14, File/Image→6) with the prefix stripped from
+    the title; a File link whose caption embeds [[nested links]] is
+    extracted as ONE outermost region (Util.gatherComplexRegions);
+    unknown colon prefixes stay main-namespace titles."""
+    text = (
+        "Start [[Marie François Sadi Carnot|Sadi Carnot]] then "
+        "[[Issues in anarchism#Communism|communism]] and "
+        "[[Category:Hereditary cancers]] plus "
+        "[[File:Manifestación CNT Bilbao.jpg|thumb|left|May day of "
+        "[[anarcho-syndicalist]] union in [[Bilbao]]]] and "
+        "[[Dr. Who: the movie]] end."
+    )
+    df = spark.createDataFrame([(1, text)], "page_id long, text string")
+    got = {
+        (r.target_ns, r.target_title, r.section, r.anchor)
+        for r in xml.parse_links(df).collect()
+    }
+    assert (0, "Marie François Sadi Carnot", "", "Sadi Carnot") in got
+    assert (0, "Issues in anarchism", "Communism", "communism") in got
+    assert (14, "Hereditary cancers", "", "Category:Hereditary cancers") in got
+    # the File link is one outer region; its nested links are not
+    # separate rows (reference returns outermost complex regions)
+    file_rows = [g for g in got if g[0] == 6]
+    assert len(file_rows) == 1
+    assert file_rows[0][1] == "Manifestación CNT Bilbao.jpg"
+    assert not any(t == "anarcho-syndicalist" for _, t, _, _ in got)
+    # unknown prefix stays a main-ns title, colon intact
+    assert (0, "Dr. Who: the movie", "", "Dr. Who: the movie") in got
+
+
+def test_parse_disambig_links(spark):
+    """testLinkParserInDisambiguationText: the first link of each
+    '*' list line is the disambiguated sense (7 in the fixture)."""
+    text = (
+        "'''Nardelli''' is an [[Italian language|Italian]] surname of "
+        "[[Leonardo]].\n"
+        "*[[Elania Nardelli]] (born 1987), sport shooter\n"
+        "*[[Francesco Nardelli]] (born 1953), naturalist\n"
+        "* [[Maria Nardelli]] (born 1954), athlete\n"
+        "*[[Michael Nardelli]] (born 1983), actor\n"
+        "*[[Robert Nardelli]] (born 1948), businessman\n"
+        "*[[Stefano Nardelli]] (born 1993), cyclist\n"
+        "*[[Steve Nardelli]] (born 1948), musician\n"
+        "{{surname}}\n[[Category:Italian-language surnames]]"
+    )
+    df = spark.createDataFrame([(7, text)], "page_id long, text string")
+    got = {r.sense_title for r in xml.parse_disambig_links(df).collect()}
+    assert got == {
+        "Elania Nardelli", "Francesco Nardelli", "Maria Nardelli",
+        "Michael Nardelli", "Robert Nardelli", "Stefano Nardelli",
+        "Steve Nardelli",
+    }
+
+
 def test_sql_insert_tuples(spark):
     os.makedirs(FIX, exist_ok=True)
     p = os.path.join(FIX, "langlinks.sql")
