@@ -55,6 +55,37 @@ def tuple_counts(lines: DataFrame) -> DataFrame:
     )
 
 
+def repair_truncated_ids(
+    parsed: DataFrame, id_col: str = "page_id", order_col: str = "seq"
+) -> DataFrame:
+    """C6 corrupted-pageId repair (ProcessWikiData.java:261-289): some
+    dump tuples lose the LEADING digit of their page id (33702 'canis
+    lupus' appears as 3702). The reference streams sequentially and,
+    when an id is shorter than its predecessor, re-injects the
+    predecessor's first digit if that yields a larger number.
+
+    Distributed analogue: lag window over the caller-provided dump
+    order (``order_col``; partition by input file upstream to
+    parallelize across files — within a file the pass is inherently
+    sequential, as in the reference). Deviation, documented: the
+    reference compares against the REPAIRED predecessor, this
+    compares against the raw one — they differ only for two
+    consecutively-truncated ids."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(order_col)
+    cur = F.col(id_col).cast("string")
+    prev = F.lag(cur).over(w)
+    cand = F.concat(F.substring(prev, 1, 1), cur)
+    repaired = F.when(
+        prev.isNotNull()
+        & (F.length(cur) < F.length(prev))
+        & (cand.cast("long") > F.col(id_col).cast("long")),
+        cand.cast("long"),
+    ).otherwise(F.col(id_col))
+    return parsed.withColumn(id_col, repaired)
+
+
 def langlinks(lines: DataFrame, whitelist: tuple[str, ...] = ("fr", "de", "en", "es", "it")) -> DataFrame:
     """F7 language whitelist over parsed langlinks tuples
     (ProcessTranslation.java:201-202)."""

@@ -188,6 +188,26 @@ def test_sql_insert_tuples_backslash_escape_and_extra_column(spark):
     assert stats[0].raw_tuples == stats[0].parsed_tuples == 3
 
 
+def test_repair_truncated_ids(spark):
+    """C6 (ProcessWikiData.java:261-289): the reference's own example —
+    33702 (canis lupus) appearing as 3702 after losing its first
+    digit — must be repaired from the predecessor; ids that are
+    legitimately shorter-but-not-truncated (candidate not larger)
+    stay untouched."""
+    rows = [
+        (1, 33700), (2, 3702),   # truncated → 33702
+        (3, 33705), (4, 33801),  # normal ascending, untouched
+        (5, 12),                 # shorter: candidate '3'+'12'=312 > 12 → repaired
+        (6, 9),                  # prev RAW id is 12 → candidate '1'+'9'=19 → repaired
+    ]
+    df = spark.createDataFrame(rows, "seq int, page_id long")
+    got = {r.seq: r.page_id for r in sqldump.repair_truncated_ids(df).collect()}
+    assert got[2] == 33702
+    assert got[3] == 33705 and got[4] == 33801
+    assert got[5] == 312
+    assert got[6] == 19
+
+
 def test_wikidata_json_ids(spark):
     p = os.path.join(FIX, "wikidata.jsonl")
     with open(p, "w") as f:
