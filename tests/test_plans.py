@@ -77,6 +77,42 @@ def test_session_scale_confs(spark):
     assert conf.get("spark.sql.session.timeZone") == "UTC"
 
 
+def test_aqe_splits_skewed_join(spark):
+    """Hot-key skew (the north rule's explicit concern) must be split
+    at runtime by AQE: a join where 90% of rows share one key gets
+    SortMergeJoin(skew=true) + a skewed AQEShuffleRead in the FINAL
+    adaptive plan. Thresholds are shrunk so the split triggers at
+    test scale; production uses the session defaults."""
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        a = spark.range(400000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pa"),
+        )
+        b = spark.range(2000).select(F.col("id").alias("k"), F.lit("dim").alias("pb"))
+        j = a.join(b, "k").groupBy().count()
+        # collect() finalizes THIS QueryExecution's adaptive plan
+        assert j.collect()[0]["count"] == 360200
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_neardup_lsh_is_equijoin(spark, sf_dir):
     """dd07's candidate generation must be a bucket equi-join — the
     O(n²) theta-join shape (BroadcastNestedLoopJoin / CartesianProduct)

@@ -2,9 +2,49 @@
 index + greedy loop) agrees with an independent naive implementation
 of the same spec on arbitrary inputs. No Spark session."""
 
+import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from grisp_spark.kg import spec
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "Gamma", "delta", "spark", "LAKE"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(WORDS)
+@settings(max_examples=60, deadline=None)
+def test_centroid_oov_skip_equals_filtered(words):
+    """Vector-store OOV skipping ≡ computing the centroid over the
+    filtered word list with the default generator (the parity the
+    file-backed path relies on)."""
+    store = {w: spec.word_vec(w) for w in words if not w.startswith("a")}
+    via_store = spec.centroid(words, spec.store_vec_fn(store))
+    kept = [w for w in words if w in store]
+    direct = spec.centroid(kept)
+    assert np.array_equal(via_store, direct)
+
+
+@given(WORDS)
+@settings(max_examples=60, deadline=None)
+def test_lr_score_deterministic_and_oov(words):
+    evec = spec.word_vec("entity")
+    a = spec.lr_context_score(words, evec)
+    b = spec.lr_context_score(words, evec)
+    assert a == b  # bit-identical across calls (fixed summation order)
+    assert a <= 0.0  # −Σ count·log1p(exp(·)) is never positive
+    empty_store = spec.store_vec_fn({})
+    assert spec.lr_context_score(words, evec, empty_store) == 0.0
+
+
+@given(WORDS)
+@settings(max_examples=60, deadline=None)
+def test_score_candidate_prior_mode_ignores_context(words):
+    evec = spec.word_vec("entity")
+    ctx = spec.lr_context_score(words, evec)
+    assert spec.score_candidate(0.25, ctx, "prior") == 0.25
 
 TOKENS = st.sampled_from(
     ["alpha", "beta", "Gamma", "delta", "x", "a", "it'", "spark", "LAKE", "x#y"]
