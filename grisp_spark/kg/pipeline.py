@@ -189,7 +189,13 @@ class KGPipeline:
         return self._read_linked(out)
 
     # -- downstream stages (stage-granular resume) --------------------------
-    def _stage(self, name: str, build, resume: bool = True) -> DataFrame:
+    def _stage(
+        self,
+        name: str,
+        build,
+        resume: bool = True,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
         out = os.path.join(self.out_dir, name)
         # a .done marker without output on disk (manual cleanup /
         # partial restore) must rebuild, not crash on read
@@ -205,13 +211,36 @@ class KGPipeline:
         obs = Observation(f"{name}_rows")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         shutil.rmtree(out, ignore_errors=True)
-        df.write.mode("overwrite").parquet(out)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
         self.lineage.record(
             name, -1, -1, int(obs.get["rows_out"]),
             int((time.monotonic() - t0) * 1000),
         )
         self.lineage.mark_stage(name)
         return self.spark.read.parquet(out)
+
+    ENTITY_BUCKETS = 16
+
+    def _stage_entity_bucketed(
+        self, name: str, build, key: str, resume: bool = True
+    ) -> DataFrame:
+        """Materialize an entity-keyed graph table partitioned by an
+        explicit hash bucket of its entity key — the parquet stand-in
+        for Iceberg's PARTITIONED BY (bucket(N, entity_id)) layout
+        (sources/iceberg.py): downstream equi-joins on the key read
+        co-located buckets, and point lookups prune to one bucket."""
+        return self._stage(
+            name,
+            lambda: build().withColumn(
+                "ebucket",
+                F.pmod(F.xxhash64(F.col(key)), F.lit(self.ENTITY_BUCKETS)),
+            ),
+            resume,
+            partition_by=["ebucket"],
+        )
 
     def run(self, resume: bool = True) -> dict[str, DataFrame]:
         if resume and not self.lineage.check_config(n_buckets=self.n_buckets):
@@ -245,12 +274,17 @@ class KGPipeline:
             ),
             resume,
         )
-        edges = self._stage(
-            "edges", lambda: materialize.entity_edges(trip), resume
+        edges = self._stage_entity_bucketed(
+            "edges", lambda: materialize.entity_edges(trip), "src", resume
         )
-        adj = self._stage("adjacency", lambda: materialize.adjacency(edges), resume)
-        elabels = self._stage(
-            "entity_labels", lambda: materialize.entity_labels(lstats), resume
+        adj = self._stage_entity_bucketed(
+            "adjacency", lambda: materialize.adjacency(edges), "id", resume
+        )
+        elabels = self._stage_entity_bucketed(
+            "entity_labels",
+            lambda: materialize.entity_labels(lstats),
+            "entity_id",
+            resume,
         )
         counters = self._stage(
             "counters",

@@ -130,6 +130,19 @@ def test_lineage_metrics(pipeline_result):
     assert total_hist == pipeline_result["linked"].count()
 
 
+def test_entity_tables_bucket_partitioned(pipeline_result):
+    """Graph tables materialize partitioned by the entity-key hash
+    bucket (the parquet stand-in for Iceberg bucket(N, entity_id)) —
+    partition dirs must exist and row counts survive the layout."""
+    for table, key in (("edges", "src"), ("adjacency", "id"),
+                       ("entity_labels", "entity_id")):
+        tdir = os.path.join(OUT, table)
+        parts = [d for d in os.listdir(tdir) if d.startswith("ebucket=")]
+        assert parts, f"{table}: no ebucket partitions in {os.listdir(tdir)}"
+        df = pipeline_result[table]
+        assert "ebucket" in df.columns and key in df.columns
+
+
 def test_sanity_no_violations(pipeline_result):
     from grisp_spark.kg.stats import sanity_violations
 
