@@ -21,6 +21,7 @@ import os
 import shutil
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -198,9 +199,14 @@ class KGPipeline:
     ) -> DataFrame:
         out = os.path.join(self.out_dir, name)
         # a .done marker without output on disk (manual cleanup /
-        # partial restore) must rebuild, not crash on read
+        # partial restore) must rebuild, not crash on read; likewise a
+        # zero-row output (no footers → schema inference fails) is
+        # rebuilt, which is cheap because its input was empty too
         if resume and self.lineage.stage_complete(name) and os.path.exists(out):
-            return self.spark.read.parquet(out)
+            try:
+                return self.spark.read.parquet(out)
+            except AnalysisException:
+                pass
         t0 = time.monotonic()
         df = build()
         # observe() rides the write action (the Hadoop-counter
@@ -220,7 +226,9 @@ class KGPipeline:
             int((time.monotonic() - t0) * 1000),
         )
         self.lineage.mark_stage(name)
-        return self.spark.read.parquet(out)
+        # explicit schema: a zero-row stage writes no parquet footers,
+        # which would break inference on read-back
+        return self.spark.read.schema(df.schema).parquet(out)
 
     ENTITY_BUCKETS = 16
 

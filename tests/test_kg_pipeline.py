@@ -143,6 +143,29 @@ def test_entity_tables_bucket_partitioned(pipeline_result):
         assert "ebucket" in df.columns and key in df.columns
 
 
+def test_empty_corpus_runs_and_resumes(spark, dataset):
+    """A corpus that links nothing (here: zero conversations) must
+    produce empty outputs, not crash — zero-row stages write no
+    parquet footers, so read-back needs the explicit schema, and
+    resume must rebuild rather than fail schema inference."""
+    import shutil
+
+    import pandas as pd
+
+    src = OUT + "_empty_src"
+    out = OUT + "_empty_out"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.copytree(dataset, src)
+    conv = pd.read_parquet(os.path.join(src, "conversations.parquet")).iloc[0:0]
+    conv.to_parquet(os.path.join(src, "conversations.parquet"))
+    res = KGPipeline(spark, src, out, n_buckets=4, n_partitions=4).run(resume=False)
+    assert res["triples"].count() == 0
+    assert res["linked"].count() == 0
+    res2 = KGPipeline(spark, src, out, n_buckets=4, n_partitions=4).run(resume=True)
+    assert res2["triples"].count() == 0
+
+
 def test_sanity_no_violations(pipeline_result):
     from grisp_spark.kg.stats import sanity_violations
 
