@@ -116,6 +116,9 @@ def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=None
     return sc.broadcast(gaz), sc.broadcast(evecs)
 
 
+_MISSING = object()  # lr_context_matrix legitimately returns None
+
+
 def _score_senses(senses, tokens, begin, end, evecs, score_mode, ctx_cache, vec_fn=None):
     """Candidate scores for one mention span, shared by both kernels.
     Modes (spec.SCORE_MODES): centroid cosine, LR logistic context
@@ -131,18 +134,21 @@ def _score_senses(senses, tokens, begin, end, evecs, score_mode, ctx_cache, vec_
         ]
     key = (begin, end)
     if score_mode == "lr":
-        ctx_words = ctx_cache.get(key)
-        if ctx_words is None:
-            ctx_words = tokens[:begin] + tokens[end:]
-            ctx_cache[key] = ctx_words
+        # the (matrix, counts) pair is span-invariant — cache it so k
+        # candidate senses cost k matrix-vector products, not k full
+        # Counter+stack rebuilds
+        mat = ctx_cache.get(key, _MISSING)
+        if mat is _MISSING:
+            mat = spec.lr_context_matrix(
+                tokens[:begin] + tokens[end:], vec_fn or _cached_word_vec
+            )
+            ctx_cache[key] = mat
         return [
             (
                 eid,
                 spec.score_candidate(
                     occ / total if total else 0.0,
-                    spec.lr_context_score(
-                        ctx_words, evecs[eid], vec_fn or _cached_word_vec
-                    ),
+                    spec.lr_score_from_matrix(mat, evecs[eid]),
                     "lr",
                 ),
             )

@@ -76,6 +76,12 @@ class Lineage:
         if os.path.exists(path):
             with open(path) as f:
                 return json.load(f) == config
+        # lineage records WITHOUT a config file (pre-config layout or
+        # hand-cleaned dir) are unverifiable — treat as mismatch, or a
+        # changed n_buckets would silently skip buckets mapped by the
+        # old layout
+        if any(f.endswith(".json") for f in os.listdir(self.dir)):
+            return False
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(config, f)
@@ -242,9 +248,14 @@ class KGPipeline:
         co-located buckets, and point lookups prune to one bucket."""
         return self._stage(
             name,
+            # int cast: partition-column inference types ebucket as int
+            # on (resumed) reads — match it so fresh and resumed runs
+            # return the same schema
             lambda: build().withColumn(
                 "ebucket",
-                F.pmod(F.xxhash64(F.col(key)), F.lit(self.ENTITY_BUCKETS)),
+                F.pmod(F.xxhash64(F.col(key)), F.lit(self.ENTITY_BUCKETS)).cast(
+                    "int"
+                ),
             ),
             resume,
             partition_by=["ebucket"],

@@ -30,8 +30,12 @@ import numpy as np
 MAX_LABEL_TOKENS = 15
 MAX_LABEL_CHARS = 500
 # single source for the tokenizer pattern: compiled here for Python
-# kernels, exported for engine-side regexp_extract_all (Spark/DuckDB)
-BOUNDARY_PATTERN = r"[^\s{}()\"'.,;:\-_]+"
+# kernels, exported for engine-side regexp_extract_all (Spark/DuckDB).
+# Whitespace is spelled out as ASCII chars, NOT \s: Python re's \s is
+# Unicode-aware while Java regex (the reference's semantics,
+# LabelOccurrencesStep.java:169) and DuckDB's RE2 are ASCII-only — an
+# explicit class keeps all three engines tokenizing identically.
+BOUNDARY_PATTERN = "[^ \\t\\n\\r\\f\\v{}()\"'.,;:\\-_]+"
 BOUNDARY_RE = re.compile(BOUNDARY_PATTERN)
 EMBED_DIM = 32
 PRIOR_WEIGHT = 0.6
@@ -173,6 +177,35 @@ def centroid(words: list[str], vec_fn=None) -> np.ndarray:
     return (m / nrm).astype(np.float32) if nrm > 0 else m.astype(np.float32)
 
 
+def lr_context_matrix(ctx_words: list[str], vec_fn=None):
+    """(word-vector matrix, counts) for the LR scorer — built once per
+    mention span so every candidate sense reuses it (only the entity
+    vector changes per candidate). None when the context is empty or
+    entirely OOV."""
+    if not ctx_words:
+        return None
+    from collections import Counter
+
+    vf = vec_fn or word_vec
+    pairs = [
+        (v, n) for v, n in ((vf(w), n) for w, n in Counter(ctx_words).items())
+        if v is not None  # OOV words skipped, like centroid()
+    ]
+    if not pairs:
+        return None
+    M = np.stack([v for v, _ in pairs]).astype(np.float64)
+    c = np.array([n for _, n in pairs], dtype=np.float64)
+    return M, c
+
+
+def lr_score_from_matrix(mat, entity_vec: np.ndarray) -> float:
+    if mat is None:
+        return 0.0
+    M, c = mat
+    d = M @ np.asarray(entity_vec, dtype=np.float64)
+    return float(-np.sum(c * np.log1p(np.exp(d))))
+
+
 def lr_context_score(
     ctx_words: list[str], entity_vec: np.ndarray, vec_fn=None
 ) -> float:
@@ -182,21 +215,7 @@ def lr_context_score(
     Higher (less negative) is better. Vectorized over context words;
     the summation order (first-occurrence order of distinct words) is
     fixed so Spark kernel and oracle produce bit-identical floats."""
-    if not ctx_words:
-        return 0.0
-    from collections import Counter
-
-    vf = vec_fn or word_vec
-    pairs = [
-        (v, n) for v, n in ((vf(w), n) for w, n in Counter(ctx_words).items())
-        if v is not None  # OOV words skipped, like centroid()
-    ]
-    if not pairs:
-        return 0.0
-    M = np.stack([v for v, _ in pairs]).astype(np.float64)
-    c = np.array([n for _, n in pairs], dtype=np.float64)
-    d = M @ np.asarray(entity_vec, dtype=np.float64)
-    return float(-np.sum(c * np.log1p(np.exp(d))))
+    return lr_score_from_matrix(lr_context_matrix(ctx_words, vec_fn), entity_vec)
 
 
 def cosine(a: np.ndarray, b: np.ndarray) -> float:

@@ -307,16 +307,8 @@ def topk_ivf(
 
 def lsh_bucket(col, bits: int = LSH_BITS):
     """Axis-aligned hyperplane LSH: sign bits of the first ``bits``
-    components."""
-    return F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(bits)),
-            lambda i: F.when(F.element_at(col, i) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            ),
-        ),
-        "",
-    )
+    components (the first table of the multi-table family)."""
+    return lsh_bucket_slice(col, 1, bits)
 
 
 def topk_lsh(

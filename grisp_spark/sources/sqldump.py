@@ -56,7 +56,10 @@ def tuple_counts(lines: DataFrame) -> DataFrame:
 
 
 def repair_truncated_ids(
-    parsed: DataFrame, id_col: str = "page_id", order_col: str = "seq"
+    parsed: DataFrame,
+    id_col: str = "page_id",
+    order_col: str = "seq",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """C6 corrupted-pageId repair (ProcessWikiData.java:261-289): some
     dump tuples lose the LEADING digit of their page id (33702 'canis
@@ -65,15 +68,21 @@ def repair_truncated_ids(
     predecessor's first digit if that yields a larger number.
 
     Distributed analogue: lag window over the caller-provided dump
-    order (``order_col``; partition by input file upstream to
-    parallelize across files — within a file the pass is inherently
-    sequential, as in the reference). Deviation, documented: the
-    reference compares against the REPAIRED predecessor, this
-    compares against the raw one — they differ only for two
-    consecutively-truncated ids."""
+    order (``order_col``). Pass ``partition_cols`` (e.g.
+    ``[input_file_name()]``-derived column) to parallelize across
+    files — within a partition the pass is inherently sequential, as
+    in the reference; with no partition the whole input funnels
+    through one task (single-file repair only). Deviation,
+    documented: the reference compares against the REPAIRED
+    predecessor, this compares against the raw one — they differ only
+    for two consecutively-truncated ids."""
     from pyspark.sql import Window as W
 
-    w = W.orderBy(order_col)
+    w = (
+        W.partitionBy(*partition_cols).orderBy(order_col)
+        if partition_cols
+        else W.orderBy(order_col)
+    )
     cur = F.col(id_col).cast("string")
     prev = F.lag(cur).over(w)
     cand = F.concat(F.substring(prev, 1, 1), cur)
