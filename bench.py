@@ -28,8 +28,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
 # scaling runs need the job big enough that per-core work dominates
-# the ~4s fixed cost (broadcast build + layout + scheduling)
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "250000"))
+# the ~4s fixed cost (broadcast build + layout + scheduling); doubled
+# after the batched scorer made the kernel ~2x faster
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "500000"))
 
 
 def _data_dir(n_convs: int) -> str:

@@ -161,6 +161,49 @@ def store_vec_fn(store: dict):
     return fn
 
 
+# --- batch primitives ------------------------------------------------------
+# The Spark kernels score thousands of mentions per Arrow batch; these
+# primitives do the math for MANY contexts/pairs in a few numpy ops.
+# The per-row functions below (centroid / cosine) are single-segment
+# wrappers of the SAME primitives, so the row-by-row oracle is
+# bit-identical to the batched kernels by construction. Summation
+# orders are fixed: reduceat is sequential within a segment, and row
+# dots accumulate dimension-sequentially (the same convention as
+# operators/similarity.py).
+
+
+def seq_dot_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot, float64, dimension-sequential accumulation."""
+    A = A.astype(np.float64, copy=False)
+    B = B.astype(np.float64, copy=False)
+    acc = A[:, 0] * B[:, 0]
+    for i in range(1, A.shape[1]):
+        acc = acc + A[:, i] * B[:, i]
+    return acc
+
+
+def centroid_batch(W: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Normalized mean per segment of stacked word vectors ``W``
+    (float32 in, float32 out; float64 accumulation; empty segments are
+    not representable — callers map them to the zero vector)."""
+    W64 = W.astype(np.float64)
+    sums = np.add.reduceat(W64, starts, axis=0)
+    m = sums / np.asarray(counts, dtype=np.float64)[:, None]
+    nrm = np.sqrt(seq_dot_rows(m, m))
+    safe = np.where(nrm > 0, nrm, 1.0)
+    out = np.where((nrm > 0)[:, None], m / safe[:, None], m)
+    return out.astype(np.float32)
+
+
+def cosine_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise cosine with the zero-norm → 0.0 guard."""
+    na = np.sqrt(seq_dot_rows(A, A))
+    nb = np.sqrt(seq_dot_rows(B, B))
+    denom = na * nb
+    safe = np.where(denom > 0, denom, 1.0)
+    return np.where(denom > 0, seq_dot_rows(A, B) / safe, 0.0)
+
+
 def centroid(words: list[str], vec_fn=None) -> np.ndarray:
     """CentroidEntityScorer.java:34-55: mean of word vectors, normalized.
     ``vec_fn`` plugs in a real vector store (file-backed word2vec); it
@@ -172,9 +215,9 @@ def centroid(words: list[str], vec_fn=None) -> np.ndarray:
     vecs = [v for v in (vf(w) for w in words) if v is not None]
     if not vecs:
         return np.zeros(EMBED_DIM, dtype=np.float32)
-    m = np.mean(vecs, axis=0)
-    nrm = np.linalg.norm(m)
-    return (m / nrm).astype(np.float32) if nrm > 0 else m.astype(np.float32)
+    return centroid_batch(
+        np.stack(vecs), np.array([0]), np.array([len(vecs)])
+    )[0]
 
 
 def lr_context_matrix(ctx_words: list[str], vec_fn=None):
@@ -219,11 +262,11 @@ def lr_context_score(
 
 
 def cosine(a: np.ndarray, b: np.ndarray) -> float:
-    """LinearAlgebra.java:20-37 inner product on unit vectors."""
-    na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
-    if na == 0.0 or nb == 0.0:
-        return 0.0
-    return float(np.dot(a, b) / (na * nb))
+    """LinearAlgebra.java:20-37 inner product on unit vectors —
+    single-row wrapper of cosine_batch (identical float ops)."""
+    return float(
+        cosine_batch(np.asarray(a)[None, :], np.asarray(b)[None, :])[0]
+    )
 
 
 def order_senses(senses: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
