@@ -83,6 +83,15 @@ def _materialize(df) -> int:
     return 0
 
 
+# Arrow-stage (python worker) parallelism for the KG job. Fixed across
+# parallelism levels like a real cluster's input splits — and capped at
+# the sandbox's REAL core capacity: the BENCH/cpu_control.py experiment
+# shows CPU-bound python workers collapse past ~8 concurrent processes
+# on these oversubscribed vCPUs (measured here too: the batched scorer
+# does 155k turns/s with 8 partitions on local[32] but 54k with 32).
+KG_JOB_PARTITIONS = int(os.environ.get("SPARK_GRAFT_KG_PARTITIONS", "8"))
+
+
 def run_kg_job(spark, data_dir: str) -> tuple[int, float]:
     """The scaling-benchmark job: full linking + canonicalization +
     triple extraction via the fused map-side path (one layout shuffle,
@@ -101,7 +110,9 @@ def run_kg_job(spark, data_dir: str) -> tuple[int, float]:
     t0 = time.monotonic()
     gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
     canon_bc = canonicalize.canonical_map_broadcast(spark, kb["entities"])
-    trip = linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc)
+    trip = linking.link_and_extract(
+        conv, gaz_bc, evec_bc, canon_bc, KG_JOB_PARTITIONS
+    )
     _materialize(trip)
     return n_turns, time.monotonic() - t0
 
