@@ -62,14 +62,6 @@ def _cached_word_vec(w: str) -> np.ndarray:
     return v
 
 
-def _centroid_cached(words: list[str]) -> np.ndarray:
-    if not words:
-        return np.zeros(spec.EMBED_DIM, dtype=np.float32)
-    m = np.mean([_cached_word_vec(w) for w in words], axis=0)
-    nrm = np.linalg.norm(m)
-    return (m / nrm).astype(np.float32) if nrm > 0 else m.astype(np.float32)
-
-
 def load_word_vectors(spark: SparkSession, vectors: DataFrame):
     """(word, vec array<float>) table → broadcast {word: np.float32
     vector} — the file-backed replacement for the md5 pseudo-vectors,
@@ -268,14 +260,13 @@ def _score_senses(senses, tokens, begin, end, evecs, score_mode, ctx_cache, vec_
             )
             for eid, occ, _doc in senses
         ]
+    if score_mode != "centroid":
+        raise ValueError(f"unknown score_mode {score_mode!r} (see spec.SCORE_MODES)")
     ctx = ctx_cache.get(key)
     if ctx is None:
-        ctx_words = tokens[:begin] + tokens[end:]
-        ctx = (
-            _centroid_cached(ctx_words)
-            if vec_fn is None
-            else spec.centroid(ctx_words, vec_fn)
-        )
+        # shared-spec centroid (batch-primitive wrapper) with the
+        # executor word-vector cache — identical values either way
+        ctx = spec.centroid(tokens[:begin] + tokens[end:], vec_fn or _cached_word_vec)
         ctx_cache[key] = ctx
     return [
         (

@@ -31,11 +31,12 @@ MAX_LABEL_TOKENS = 15
 MAX_LABEL_CHARS = 500
 # single source for the tokenizer pattern: compiled here for Python
 # kernels, exported for engine-side regexp_extract_all (Spark/DuckDB).
-# Whitespace is spelled out as ASCII chars, NOT \s: Python re's \s is
-# Unicode-aware while Java regex (the reference's semantics,
-# LabelOccurrencesStep.java:169) and DuckDB's RE2 are ASCII-only — an
-# explicit class keeps all three engines tokenizing identically.
-BOUNDARY_PATTERN = "[^ \\t\\n\\r\\f\\v{}()\"'.,;:\\-_]+"
+# Whitespace is spelled out as explicit code points, NOT \s (Python's
+# \s is Unicode-aware, Java's and RE2's are ASCII) and NOT \v (Java
+# \v is the vertical-whitespace CLASS incl. U+0085/U+2028/U+2029,
+# while Python/RE2 read it as \x0B) — explicit escapes are the only
+# spelling all three engines read identically.
+BOUNDARY_PATTERN = "[^ \\t\\n\\r\\f\\x0B{}()\"'.,;:\\-_]+"
 BOUNDARY_RE = re.compile(BOUNDARY_PATTERN)
 EMBED_DIM = 32
 PRIOR_WEIGHT = 0.6

@@ -75,8 +75,19 @@ def connected_components_star(
 
     Each round is two grouped aggregations + joins over the
     (shrinking) edge set; at fixpoint every edge is (node, component
-    min), i.e. a star."""
+    min), i.e. a star. Raises if ``max_rounds`` is exhausted before
+    the fixpoint — a non-star edge set would silently mislabel
+    components. Output contract matches connected_components: every
+    node appearing in ``edges`` (including self-loop-only nodes) gets
+    a row, isolated ones mapping to themselves."""
+    all_nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     cur = _canon_edges(edges).localCheckpoint(eager=True)
+    n_cur = cur.count()
+    converged = False
     for _ in range(max_rounds):
         # large-star: every node u attaches its LARGER neighbors to
         # m = min(Γ(u) ∪ {u})
@@ -99,17 +110,27 @@ def connected_components_star(
             F.col("dst").alias("src"), F.col("m").alias("dst")
         ).union(smins.select("src", F.col("m").alias("dst")))
         nxt = _canon_edges(small).localCheckpoint(eager=True)
-        changed = (
-            nxt.exceptAll(cur).limit(1).count() > 0
-            or cur.exceptAll(nxt).limit(1).count() > 0
-        )
-        cur = nxt
+        # both sides are distinct sets: equal size + empty one-sided
+        # difference ⟹ equal (one count + one probe, not two probes)
+        n_nxt = nxt.count()
+        changed = n_nxt != n_cur or nxt.exceptAll(cur).limit(1).count() > 0
+        cur, n_cur = nxt, n_nxt
         if not changed:
+            converged = True
             break
-    # fixpoint stars: (node → component min) for every non-root node
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # fixpoint stars: (node → component min) for every non-root node;
+    # nodes with no surviving edges (isolated / self-loop-only) map to
+    # themselves, like the union-find and propagation paths
     roots = cur.select(F.col("dst").alias("id"), F.col("dst").alias("component"))
     members = cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
-    return members.union(roots).distinct()
+    stars = members.union(roots).distinct()
+    return all_nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
 
 
 def connected_components(

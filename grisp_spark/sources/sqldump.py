@@ -72,10 +72,12 @@ def repair_truncated_ids(
     ``[input_file_name()]``-derived column) to parallelize across
     files — within a partition the pass is inherently sequential, as
     in the reference; with no partition the whole input funnels
-    through one task (single-file repair only). Deviation,
-    documented: the reference compares against the REPAIRED
+    through one task (single-file repair only). Deviations,
+    documented: (1) the reference compares against the REPAIRED
     predecessor, this compares against the raw one — they differ only
-    for two consecutively-truncated ids."""
+    for two consecutively-truncated ids; (2) the reference's
+    Integer.parseInt silently skips ids beyond int32, this uses
+    64-bit arithmetic and repairs them too."""
     from pyspark.sql import Window as W
 
     w = (

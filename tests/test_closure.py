@@ -41,17 +41,23 @@ def test_cc_distributed_path_matches_driver(spark):
 
 def test_cc_star_matches_driver_on_fixture(spark):
     """Large-star/small-star agrees with union-find on the chain/
-    cycle/self-loop fixture (self-loop node 7 has no real edges, so
-    it legitimately doesn't appear — same as canonical-map coalesce
-    handles)."""
+    cycle/self-loop fixture — identical contract, including the
+    self-loop-only node mapping to itself."""
     e = _edges(spark)
-    driver = {
-        (r.id, r.component)
-        for r in connected_components(e).collect()
-        if r.id != 7  # self-loop-only node: star path drops self-loops
-    }
+    driver = {(r.id, r.component) for r in connected_components(e).collect()}
     star = {(r.id, r.component) for r in connected_components_star(e).collect()}
     assert star == driver
+
+
+def test_cc_star_raises_when_unconverged(spark):
+    """Exhausting max_rounds before the fixpoint must raise — the
+    non-star edge set would silently mislabel components."""
+    import pytest
+
+    rows = [(i, i + 1) for i in range(300)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(e, max_rounds=1)
 
 
 def test_cc_star_long_chain_few_rounds(spark):
