@@ -24,6 +24,13 @@ STATE_SCHEMA = "last_turn int, ents array<long>"
 def make_processor(gaz_bc, evec_bc, canon_bc):
     """Returns the applyInPandasWithState function closed over the
     broadcast KB structures."""
+    from grisp_spark.kg.linking import _cached_word_vec, _first_token_index
+
+    # driver-side stable broadcast id — the executor-local index cache
+    # key (process() is invoked once PER CONVERSATION GROUP per
+    # micro-batch; rebuilding the first-token index each time would
+    # scan the whole gazetteer per group)
+    cache_key = gaz_bc._jbroadcast.id()
 
     def process(
         key: tuple,
@@ -33,7 +40,7 @@ def make_processor(gaz_bc, evec_bc, canon_bc):
         gaz = gaz_bc.value
         evecs = evec_bc.value
         canon = canon_bc.value
-        idx = spec.build_first_token_index(gaz)
+        idx = _first_token_index(gaz, cache_key)
         (conv_id,) = key
         if state.exists:
             last_turn, prev_list = state.get
@@ -65,7 +72,9 @@ def make_processor(gaz_bc, evec_bc, canon_bc):
             for begin, end, surface in spec.detect_mentions(tokens, gaz, idx):
                 senses = gaz[surface]
                 total = sum(s[1] for s in senses)
-                ctx = spec.centroid(tokens[:begin] + tokens[end:])
+                # executor word-vector cache: uncached spec.word_vec
+                # re-derives the RNG vector per context word (~10x)
+                ctx = spec.centroid(tokens[:begin] + tokens[end:], _cached_word_vec)
                 picked = spec.pick_sense(
                     [
                         (
