@@ -185,6 +185,59 @@ def q27_translations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("page_id")
 
 
+def q28_xml_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/F1/F2/C3/S6 end-to-end with an oracle: a MediaWiki-shaped
+    XML dump is synthesized deterministically from the part table,
+    written to scratch, and parsed by the real tag-delimited scan
+    (sources/xml.page_records lineSep split → regex fields → namespace
+    filter → mega-record guard) + page-type classification. The
+    DuckDB oracle computes the expected rows directly from part —
+    so the XML round-trip is what's checked. partkey 1 gets a >100k
+    char body and must be dropped by the S6 guard."""
+    import hashlib
+    import os
+
+    from grisp_spark.sources import xml as xml_src
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    rows = sorted(
+        (int(r.p_partkey), r.p_name) for r in part.collect()
+    )
+    blocks = []
+    for k, name in rows:
+        ns = 14 if k % 7 == 0 else 0
+        title = (f"Category:{name}" if ns == 14 else name)
+        redirect = f'  <redirect title="T{k}" />\n' if k % 5 == 0 else ""
+        body = "x" * 100_001 if k == 1 else (
+            "{{disambiguation}} stub" if k % 11 == 0 else f"body of {name}"
+        )
+        ts = f"2016-12-06T03:46:{k % 60:02d}Z"
+        blocks.append(
+            "<page>\n"
+            f"  <title>{title}</title>\n"
+            f"  <ns>{ns}</ns>\n"
+            f"  <id>{k}</id>\n"
+            f"{redirect}"
+            f"  <revision><timestamp>{ts}</timestamp>\n"
+            f'  <text xml:space="preserve">{body}</text></revision>\n'
+            "</page>"
+        )
+    content = "<mediawiki>\n" + "\n".join(blocks) + "\n</mediawiki>"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".data",
+        f"q28_dump_{tag}.xml",
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(content)
+    pages = xml_src.classify_pages(xml_src.page_records(spark, path))
+    return pages.select(
+        "page_id", "title", "ns", "page_type", "ts"
+    ).orderBy("page_id")
+
+
 ORACLES: dict[str, str] = {
     "q22_running_window": """
         SELECT user_id, event_id,
@@ -204,6 +257,21 @@ ORACLES: dict[str, str] = {
                        ORDER BY n_chars DESC, doc_id ASC) AS rn
             FROM documents
         ) WHERE rn = 1 ORDER BY lang, source
+    """,
+    "q28_xml_page_scan": """
+        SELECT p_partkey AS page_id,
+               CASE WHEN p_partkey % 7 = 0 THEN 'Category:' || p_name
+                    ELSE p_name END AS title,
+               CASE WHEN p_partkey % 7 = 0 THEN 14 ELSE 0 END AS ns,
+               CASE WHEN p_partkey % 5 = 0 THEN 'redirect'
+                    WHEN p_partkey % 7 = 0 THEN 'category'
+                    WHEN p_partkey % 11 = 0 THEN 'disambiguation'
+                    ELSE 'article' END AS page_type,
+               TIMESTAMP '2016-12-06 03:46:00'
+                 + to_seconds(p_partkey % 60) AS ts
+        FROM part
+        WHERE p_partkey <> 1  -- mega-record dropped by the S6 guard
+        ORDER BY page_id
     """,
     "q26_wikidata_backbone": """
         WITH base AS (SELECT c_custkey AS id FROM customer WHERE c_custkey <= 500),
