@@ -238,6 +238,41 @@ def q28_xml_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("page_id")
 
 
+def q29_tql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 TQL (N-Quads) scan with an oracle: quad lines synthesized
+    from the supplier table — one URI-object triple and one quoted-
+    literal triple per supplier, plus malformed lines that the grammar
+    must drop — parsed by the real sources/sqldump.parse_tql regex;
+    the oracle computes the expected quads directly from supplier."""
+    from grisp_spark.sources import sqldump
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    subj = F.concat(F.lit("<http://kb/s"), F.col("s_suppkey").cast("string"), F.lit(">"))
+    uri = sup.select(
+        F.concat(
+            subj,
+            F.lit(" <http://kb/prop/nation> <http://kb/n"),
+            F.col("s_nationkey").cast("string"),
+            F.lit("> <http://g> ."),
+        ).alias("value")
+    )
+    lit = sup.select(
+        F.concat(
+            subj,
+            F.lit(' <http://kb/prop/name> "'),
+            F.col("s_name"),
+            F.lit('" <http://g> .'),
+        ).alias("value")
+    )
+    bad = sup.filter(F.col("s_suppkey") % 10 == 0).select(
+        F.lit("malformed line with no quad structure").alias("value")
+    )
+    lines = uri.unionByName(lit).unionByName(bad)
+    return sqldump.parse_tql(lines).orderBy("subject", "property", "object")
+
+
 ORACLES: dict[str, str] = {
     "q22_running_window": """
         SELECT user_id, event_id,
@@ -272,6 +307,19 @@ ORACLES: dict[str, str] = {
         FROM part
         WHERE p_partkey <> 1  -- mega-record dropped by the S6 guard
         ORDER BY page_id
+    """,
+    "q29_tql_scan": """
+        SELECT * FROM (
+            SELECT 'http://kb/s' || CAST(s_suppkey AS VARCHAR) AS subject,
+                   'http://kb/prop/nation' AS property,
+                   'http://kb/n' || CAST(s_nationkey AS VARCHAR) AS object,
+                   'http://g' AS graph
+            FROM supplier
+            UNION ALL
+            SELECT 'http://kb/s' || CAST(s_suppkey AS VARCHAR),
+                   'http://kb/prop/name', s_name, 'http://g'
+            FROM supplier
+        ) ORDER BY subject, property, object
     """,
     "q26_wikidata_backbone": """
         WITH base AS (SELECT c_custkey AS id FROM customer WHERE c_custkey <= 500),
