@@ -273,6 +273,30 @@ def q29_tql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqldump.parse_tql(lines).orderBy("subject", "property", "object")
 
 
+def q30_wiki_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 wiki-link parse with an oracle: markup synthesized from the
+    part table (one anchored main-namespace link + one Category link
+    per page) parsed by the real sources/xml.parse_links grammar
+    (namespace resolution, anchor/section split); the oracle computes
+    the expected link rows directly from part."""
+    from grisp_spark.sources import xml as xml_src
+
+    part = load_table(spark, sf_dir, "part")
+    pages = part.select(
+        F.col("p_partkey").alias("page_id"),
+        F.concat(
+            F.lit("See [["),
+            F.col("p_name"),
+            F.lit("|ref]] and [[Category:"),
+            F.col("p_type"),
+            F.lit("]]."),
+        ).alias("text"),
+    )
+    return xml_src.parse_links(pages).orderBy(
+        "page_id", "target_ns", "target_title"
+    )
+
+
 ORACLES: dict[str, str] = {
     "q22_running_window": """
         SELECT user_id, event_id,
@@ -307,6 +331,16 @@ ORACLES: dict[str, str] = {
         FROM part
         WHERE p_partkey <> 1  -- mega-record dropped by the S6 guard
         ORDER BY page_id
+    """,
+    "q30_wiki_links": """
+        SELECT * FROM (
+            SELECT p_partkey AS page_id, 0 AS target_ns,
+                   p_name AS target_title, '' AS section, 'ref' AS anchor
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 14, p_type, '', 'Category:' || p_type
+            FROM part
+        ) ORDER BY page_id, target_ns, target_title
     """,
     "q29_tql_scan": """
         SELECT * FROM (
@@ -371,5 +405,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
-    if callable(fn) and name.startswith("q2")
+    if callable(fn) and name.startswith("q") and name[1:3].isdigit()
 }
