@@ -27,7 +27,7 @@ def work(bounds: tuple[int, int]) -> int:
     import pandas as pd
 
     from grisp_spark.kg import oracle, spec
-    from grisp_spark.kg.linking import _centroid_cached
+    from grisp_spark.kg.linking import _cached_word_vec
 
     n0, n1 = bounds
     kb = {
@@ -46,7 +46,7 @@ def work(bounds: tuple[int, int]) -> int:
         for begin, end, surface in spec.detect_mentions(tokens, gaz, idx):
             senses = gaz[surface]
             total = sum(s[1] for s in senses)
-            ctx = _centroid_cached(tokens[:begin] + tokens[end:])
+            ctx = spec.centroid(tokens[:begin] + tokens[end:], _cached_word_vec)
             spec.pick_sense(
                 [
                     (eid, spec.score_candidate(occ / total, spec.cosine(ctx, evecs[eid])))

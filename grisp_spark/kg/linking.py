@@ -120,24 +120,34 @@ def _evec_pack(evecs: dict, cache_key: int):
     if pack is None:
         eids = sorted(evecs)
         idx = {e: i for i, e in enumerate(eids)}
-        E = np.stack([evecs[e] for e in eids]).astype(np.float32)
+        E = (
+            np.stack([evecs[e] for e in eids]).astype(np.float32)
+            if eids
+            else np.zeros((0, spec.EMBED_DIM), dtype=np.float32)
+        )
         _EVEC_PACK_CACHE.clear()
         _EVEC_PACK_CACHE[cache_key] = pack = (idx, E)
     return pack
 
 
+# memory budget for one scoring chunk: flattened context vectors are
+# COPIED by np.stack (the per-word arrays themselves are cache refs),
+# so cap the copy at ~2M 32-dim rows (~256 MB f32 + transient f64)
+MAX_CTX_ROWS_PER_CHUNK = 2_000_000
+
+
 def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
     """Centroid-mode scoring for a WHOLE Arrow batch in a few numpy
-    ops instead of 3-4 small numpy calls per mention: flatten every
-    mention context, one reduceat for all centroids, one row-wise
-    cosine for all (mention, candidate) pairs, one lexsort argmax.
-    Bit-identical to the per-row path because spec.centroid/cosine are
-    single-segment wrappers of the same batch primitives
-    (spec.centroid_batch / cosine_batch)."""
+    ops instead of 3-4 small numpy calls per mention: flatten the
+    mention contexts, one reduceat per chunk for the centroids, one
+    row-wise cosine for all (mention, candidate) pairs, one lexsort
+    argmax (spec.pick_batch). Bit-identical to the per-row path
+    because spec.centroid/cosine are single-segment wrappers of the
+    same batch primitives, and chunking is per-mention (segment math
+    is unaffected). Chunks bound worker memory on long texts."""
     eidx, E = evec_pack
     vf = vec_fn or _cached_word_vec
-    ctx_vecs: list[np.ndarray] = []
-    counts: list[int] = []
+    kept_by_mention: list[list[np.ndarray]] = []
     cand_mid: list[int] = []
     cand_eidx: list[int] = []
     cand_eid: list[int] = []
@@ -145,13 +155,13 @@ def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
     meta: list[tuple[int, int, int, str]] = []  # (row_i, begin, end, surface)
     for row_i, (tokens, found) in enumerate(zip(tokens_by_row, found_by_row)):
         for begin, end, surface in found:
-            kept = [
-                v
-                for v in (vf(w) for w in tokens[:begin] + tokens[end:])
-                if v is not None
-            ]
-            counts.append(len(kept))
-            ctx_vecs.extend(kept)
+            kept_by_mention.append(
+                [
+                    v
+                    for v in (vf(w) for w in tokens[:begin] + tokens[end:])
+                    if v is not None
+                ]
+            )
             senses = gaz[surface]
             total = sum(s[1] for s in senses)
             m = len(meta)
@@ -162,33 +172,43 @@ def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
                 cand_prior.append(occ / total if total else 0.0)
             meta.append((row_i, begin, end, surface))
     picked_by_row: list[list] = [[] for _ in tokens_by_row]
-    if not meta:
-        return picked_by_row
     n_mentions = len(meta)
-    counts_a = np.asarray(counts, dtype=np.int64)
-    cents = np.zeros((n_mentions, spec.EMBED_DIM), dtype=np.float32)
-    nonempty = counts_a > 0
-    if ctx_vecs:
-        W = np.stack(ctx_vecs)
-        starts_all = np.concatenate(([0], np.cumsum(counts_a)[:-1]))
-        cents[nonempty] = spec.centroid_batch(
-            W, starts_all[nonempty], counts_a[nonempty]
-        )
+    if not n_mentions:
+        return picked_by_row
     mid_a = np.asarray(cand_mid, dtype=np.int64)
     eid_a = np.asarray(cand_eid, dtype=np.int64)
+    eidx_a = np.asarray(cand_eidx, dtype=np.int64)
     prior_a = np.asarray(cand_prior, dtype=np.float64)
-    cos = spec.cosine_batch(cents[mid_a], E[np.asarray(cand_eidx, dtype=np.int64)])
-    scores = spec.PRIOR_WEIGHT * prior_a + spec.CONTEXT_WEIGHT * cos
-    # argmax per mention with the pick_sense tie-break (score desc,
-    # eid asc): lexsort is stable and keyed last-first
-    order = np.lexsort((eid_a, -scores, mid_a))
-    _, first = np.unique(mid_a[order], return_index=True)
-    for pos in order[first]:
-        m = int(mid_a[pos])
-        row_i, begin, end, surface = meta[m]
-        picked_by_row[row_i].append(
-            (begin, end, surface, int(eid_a[pos]), float(scores[pos]))
-        )
+    start = 0
+    while start < n_mentions:
+        end, rows = start, 0
+        while end < n_mentions and (
+            rows == 0 or rows + len(kept_by_mention[end]) <= MAX_CTX_ROWS_PER_CHUNK
+        ):
+            rows += len(kept_by_mention[end])
+            end += 1
+        chunk = kept_by_mention[start:end]
+        counts_c = np.asarray([len(k) for k in chunk], dtype=np.int64)
+        cents = np.zeros((end - start, spec.EMBED_DIM), dtype=np.float32)
+        mask = counts_c > 0
+        if rows:
+            W = np.stack([v for k in chunk for v in k])
+            starts_c = np.concatenate(([0], np.cumsum(counts_c)[:-1]))
+            cents[mask] = spec.centroid_batch(W, starts_c[mask], counts_c[mask])
+        # candidates of this mention chunk (cand_mid is nondecreasing)
+        c0 = int(np.searchsorted(mid_a, start, side="left"))
+        c1 = int(np.searchsorted(mid_a, end, side="left"))
+        mid_c = mid_a[c0:c1]
+        eid_c = eid_a[c0:c1]
+        cos = spec.cosine_batch(cents[mid_c - start], E[eidx_a[c0:c1]])
+        scores = spec.score_candidates_batch(prior_a[c0:c1], cos, "centroid")
+        for pos in spec.pick_batch(mid_c, eid_c, scores):
+            m = int(mid_c[pos])
+            row_i, begin, mend, surface = meta[m]
+            picked_by_row[row_i].append(
+                (begin, mend, surface, int(eid_c[pos]), float(scores[pos]))
+            )
+        start = end
     return picked_by_row
 
 

@@ -279,6 +279,27 @@ def order_senses(senses: list[tuple[int, int, int]]) -> list[tuple[int, int, int
 SCORE_MODES = ("centroid", "lr", "prior")
 
 
+def score_candidates_batch(
+    prior: np.ndarray, ctx_score: np.ndarray, mode: str = "centroid"
+) -> np.ndarray:
+    """Array form of score_candidate — SAME formula, kept here so the
+    batched kernels can't fork the scoring semantics."""
+    if mode == "prior":
+        return prior
+    return PRIOR_WEIGHT * prior + CONTEXT_WEIGHT * ctx_score
+
+
+def pick_batch(
+    mention_id: np.ndarray, entity_id: np.ndarray, scores: np.ndarray
+) -> np.ndarray:
+    """Indices of the picked candidate per mention — the array form of
+    pick_sense's ordering (score desc, entity_id asc; lexsort keys are
+    last-primary)."""
+    order = np.lexsort((entity_id, -scores, mention_id))
+    _, first = np.unique(mention_id[order], return_index=True)
+    return order[first]
+
+
 def score_candidate(prior: float, ctx_score: float, mode: str = "centroid") -> float:
     """Combined anchor-prior + context score. Deterministic: pure
     float64 arithmetic, identical in oracle and UDF.

@@ -230,8 +230,14 @@ def q28_xml_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q28_dump_{tag}.xml",
     )
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
+    # atomic replace: concurrent sessions share this scratch path, and
+    # a plain truncate-write could expose a half-written dump to the
+    # other session's lazy scan (content is deterministic, so whoever
+    # replaces last writes identical bytes)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
         f.write(content)
+    os.replace(tmp, path)
     pages = xml_src.classify_pages(xml_src.page_records(spark, path))
     return pages.select(
         "page_id", "title", "ns", "page_type", "ts"
