@@ -303,6 +303,36 @@ def q30_wiki_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31_disambig_senses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disambiguation sense extraction with an oracle: one synthetic
+    disambiguation page per region whose '*' list lines carry the
+    region's nations (plus non-list noise lines the extractor must
+    ignore), parsed by sources/xml.parse_disambig_links; the oracle is
+    the nation table itself."""
+    from grisp_spark.sources import xml as xml_src
+
+    nat = load_table(spark, sf_dir, "nation")
+    pages = (
+        nat.groupBy("n_regionkey")
+        .agg(
+            F.concat(
+                F.lit("'''Disambig''' page intro.\n"),
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat(F.lit("*[["), F.col("n_name"), F.lit("]] a nation"))
+                        )
+                    ),
+                    "\n",
+                ),
+                F.lit("\n{{disambiguation}}"),
+            ).alias("text")
+        )
+        .select(F.col("n_regionkey").cast("long").alias("page_id"), "text")
+    )
+    return xml_src.parse_disambig_links(pages).orderBy("page_id", "sense_title")
+
+
 ORACLES: dict[str, str] = {
     "q22_running_window": """
         SELECT user_id, event_id,
@@ -337,6 +367,10 @@ ORACLES: dict[str, str] = {
         FROM part
         WHERE p_partkey <> 1  -- mega-record dropped by the S6 guard
         ORDER BY page_id
+    """,
+    "q31_disambig_senses": """
+        SELECT CAST(n_regionkey AS BIGINT) AS page_id, n_name AS sense_title
+        FROM nation ORDER BY page_id, sense_title
     """,
     "q30_wiki_links": """
         SELECT * FROM (
