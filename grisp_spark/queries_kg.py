@@ -449,3 +449,23 @@ QUERIES = {
     for name, fn in list(globals().items())
     if callable(fn) and name.startswith("kg0")
 }
+
+# Driver-visible aliases: the driver's correctness gate only evaluates
+# q/dd/ss/ta/mm-prefixed names (CORRECTNESS_r02 had no row for any kg*
+# query), so the KG spine is registered under qNN names too. The kg*
+# names stay for the local mirror / bench; the alias and the original
+# are the SAME callable and SAME oracle SQL, and the local contract
+# test dedupes on DRIVER_ALIASES so each oracle runs once.
+DRIVER_ALIASES: dict[str, str] = {
+    "q32_kg_label_stats": "kg01_label_stats",
+    "q33_kg_label_senses": "kg02_label_senses",
+    "q34_kg_entity_labels": "kg03_entity_labels",
+    "q35_kg_cooccurrence_edges": "kg04_cooccurrence_edges",
+    "q36_kg_adjacency_capped": "kg05_adjacency_capped",
+    "q37_kg_triples_flagship": "kg06_triples_flagship",  # rows-only
+    "q38_kg_triples_prior": "kg07_triples_prior",
+}
+for _alias, _target in DRIVER_ALIASES.items():
+    QUERIES[_alias] = QUERIES[_target]
+    if _target in ORACLES:
+        ORACLES[_alias] = ORACLES[_target]

@@ -5,10 +5,15 @@ order-insensitive values)."""
 import pytest
 
 import __spark_entry__ as entry_mod
+from grisp_spark.queries_kg import DRIVER_ALIASES
 from tests.compare import assert_matches_oracle
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
+
+# qNN aliases of kg* queries share the exact callable + oracle SQL —
+# run each underlying check once locally (the driver runs the aliases).
+_DEDUPED = set(DRIVER_ALIASES)
 
 
 def test_all_queries_have_callables():
@@ -17,13 +22,24 @@ def test_all_queries_have_callables():
     assert not missing, f"oracle_sql keys missing from queries(): {missing}"
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_driver_aliases_are_same_objects():
+    for alias, target in DRIVER_ALIASES.items():
+        assert QUERIES[alias] is QUERIES[target]
+        if target in ORACLES:
+            assert ORACLES[alias] == ORACLES[target]
+        else:
+            assert alias not in ORACLES
+
+
+@pytest.mark.parametrize("name", sorted(set(ORACLES) - _DEDUPED))
 def test_query_matches_oracle(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert_matches_oracle(df, ORACLES[name], sf_dir, name)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES) - _DEDUPED)
+)
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
