@@ -42,10 +42,14 @@ def resolve_chains(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
                 F.col("b.dst").isNotNull() & (F.col("b.dst") != F.col("a.dst"))
             ).alias("moved"),
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        moved = nxt.filter("moved").limit(1).count()
+        # non-eager checkpoint: the convergence probe below is the
+        # materializing action, so each round costs ONE job (the r02
+        # shape — eager checkpoint + separate filter/count — ran two
+        # jobs per round and regressed q13 by 71%)
+        nxt = nxt.localCheckpoint(eager=False)
+        moved = nxt.agg(F.max("moved")).first()[0]
         cur = nxt.select("src", "dst")
-        if moved == 0:
+        if not moved:
             break
     return cur.select("src", F.col("dst").alias("terminal"))
 
@@ -85,7 +89,8 @@ def connected_components_star(
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    cur = _canon_edges(edges).localCheckpoint(eager=True)
+    # non-eager: the count below materializes the checkpoint (one job)
+    cur = _canon_edges(edges).localCheckpoint(eager=False)
     n_cur = cur.count()
     converged = False
     for _ in range(max_rounds):
@@ -109,9 +114,10 @@ def connected_components_star(
         small = hi_lo.join(smins, "src").select(
             F.col("dst").alias("src"), F.col("m").alias("dst")
         ).union(smins.select("src", F.col("m").alias("dst")))
-        nxt = _canon_edges(small).localCheckpoint(eager=True)
+        nxt = _canon_edges(small).localCheckpoint(eager=False)
         # both sides are distinct sets: equal size + empty one-sided
-        # difference ⟹ equal (one count + one probe, not two probes)
+        # difference ⟹ equal (one count + one probe, not two probes);
+        # the count doubles as the checkpoint materializer
         n_nxt = nxt.count()
         changed = n_nxt != n_cur or nxt.exceptAll(cur).limit(1).count() > 0
         cur, n_cur = nxt, n_nxt
@@ -168,7 +174,8 @@ def connected_components(
             .union(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            # non-eager: the changed-probe join below materializes it
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_nodes.alias("n")
