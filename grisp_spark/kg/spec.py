@@ -247,7 +247,11 @@ def lr_score_from_matrix(mat, entity_vec: np.ndarray) -> float:
         return 0.0
     M, c = mat
     d = M @ np.asarray(entity_vec, dtype=np.float64)
-    return float(-np.sum(c * np.log1p(np.exp(d))))
+    # logaddexp(0, d) = log(1 + e^d) without the overflow of
+    # log1p(exp(d)) for d ≳ 709 — reachable through load_word_vectors'
+    # arbitrary-norm file-backed vectors (kernel and oracle share this
+    # one function, so parity is unaffected)
+    return float(-np.sum(c * np.logaddexp(0.0, d)))
 
 
 def lr_context_score(

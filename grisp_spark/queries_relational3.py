@@ -53,19 +53,33 @@ def q23_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q24_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches (HLL distinct + approx quantile) — sketch
-    outputs are engine-specific, so this is a rows-only check; the
-    exact counterparts are oracle-checked in q02/q25."""
+    """Approximate sketches (HLL distinct + approx quantile). Sketch
+    VALUES are engine-specific, so the checkable contract is: emit the
+    exact counterparts plus a boolean per sketch asserting
+    |approx − exact| / exact ≤ 5% — DuckDB verifies the exact columns
+    and expects the booleans to be true (HLL's default rsd is 0.05;
+    the quantile sketch at its default accuracy is far tighter)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("l_returnflag")
+    tol = 0.05
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_am"),
+        F.percentile("l_extendedprice", 0.5).alias("_em"),
+        F.count("*").alias("n"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        (
+            F.abs(F.col("_ap") - F.col("exact_parts"))
+            <= tol * F.col("exact_parts")
+        ).alias("parts_within_tol"),
+        (F.abs(F.col("_am") - F.col("_em")) <= tol * F.abs(F.col("_em"))).alias(
+            "median_within_tol"
+        ),
+    ).orderBy("l_returnflag")
 
 
 def q25_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +392,7 @@ ORACLES: dict[str, str] = {
                    p_name AS target_title, '' AS section, 'ref' AS anchor
             FROM part
             UNION ALL
-            SELECT p_partkey, 14, p_type, '', 'Category:' || p_type
+            SELECT p_partkey, 14, p_type, '', p_type
             FROM part
         ) ORDER BY page_id, target_ns, target_title
     """,
@@ -433,6 +447,14 @@ ORACLES: dict[str, str] = {
                array_to_string(list_sort(list(lang || ':' || title)), '|')
                  AS translations
         FROM rows_ GROUP BY page_id ORDER BY page_id
+    """,
+    "q24_approx_sketches": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               count(*) AS n,
+               true AS parts_within_tol,
+               true AS median_within_tol
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "q25_exact_percentiles": """
         SELECT event_type,

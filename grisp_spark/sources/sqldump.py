@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 # trailing NULL/float 4th column is captured too
 _STR = r"'(?:[^'\\]|\\.|'')*'"
 TUPLE_RE = rf"\(((?:[^'()\\]|\\.|{_STR})+)\)"
+# mysqldump --complete-insert emits a column-list parenthetical —
+# `INSERT INTO t (a,b,c) VALUES ...` — that TUPLE_RE would capture as
+# a (garbage) tuple; everything up to the VALUES keyword is stripped
+# before tuple extraction. Plain MediaWiki dumps have no column list,
+# so the strip is a no-op prefix removal there.
+_VALUES_PREFIX = r"^.*?VALUES\s*"
+
+
+def _tuple_body(col="value"):
+    return F.regexp_replace(col, _VALUES_PREFIX, "")
 
 
 def parse_insert_tuples(
@@ -31,7 +41,9 @@ def parse_insert_tuples(
     escape=\\ for MySQL-style backslash escapes). Extra trailing
     columns beyond ``schema`` are ignored (page_props' sortkey)."""
     tuples = lines.filter(F.col("value").startswith("INSERT INTO")).select(
-        F.explode(F.regexp_extract_all("value", F.lit(TUPLE_RE), 1)).alias("t")
+        F.explode(
+            F.regexp_extract_all(_tuple_body(), F.lit(TUPLE_RE), 1)
+        ).alias("t")
     )
     parsed = tuples.select(
         F.from_csv(
@@ -47,9 +59,10 @@ def tuple_counts(lines: DataFrame) -> DataFrame:
     every tuple, ProcessWikiData.java:186-336 — a gap here means the
     grammar missed one)."""
     ins = lines.filter(F.col("value").startswith("INSERT INTO"))
+    body = _tuple_body()
     return ins.select(
-        (F.size(F.split("value", r"\),\(")) ).alias("raw_tuples"),
-        F.size(F.regexp_extract_all("value", F.lit(TUPLE_RE), 1)).alias(
+        F.size(F.split(body, r"\),\(")).alias("raw_tuples"),
+        F.size(F.regexp_extract_all(body, F.lit(TUPLE_RE), 1)).alias(
             "parsed_tuples"
         ),
     )

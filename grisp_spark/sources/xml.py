@@ -80,9 +80,13 @@ def parse_links(pages: DataFrame) -> DataFrame:
     """F5 wiki-link parse (model/DumpLinkParser.java:41-83 +
     CategoryTest/DumpLinkParserTest semantics):
     [[ns:Target#Section|anchor]] → (target_ns, target_title, section,
-    anchor); anchor defaults to the target markup; namespace prefixes
-    (Category:/File:/Image:) resolve to their keys and are stripped
-    from the title, unknown prefixes remain main-namespace titles."""
+    anchor); anchor defaults to the target AFTER namespace stripping
+    ([[Category:X]] → anchor 'X'), matching the reference's default.
+    Namespace prefixes (Category:/File:/Image:) resolve to their keys
+    and are stripped from the title; unknown prefixes remain
+    main-namespace titles. Documented deviation: prefix matching here
+    is case-INsensitive ([[category:X]] resolves too), while the
+    reference matches the siteinfo name case-sensitively."""
     links = pages.select(
         "page_id",
         F.explode(F.regexp_extract_all("text", F.lit(LINK_RE), 1)).alias("markup"),
@@ -92,7 +96,6 @@ def parse_links(pages: DataFrame) -> DataFrame:
         F.col("markup").contains("|"),
         F.regexp_replace(F.col("markup"), r"^[^|]*\|", ""),
     )
-    anchor = F.coalesce(F.nullif(rest, F.lit("")), target_full)
     prefix = F.when(
         target_full.contains(":"),
         F.lower(F.substring_index(target_full, ":", 1)),
@@ -107,6 +110,7 @@ def parse_links(pages: DataFrame) -> DataFrame:
     title = F.when(
         ns_expr != MAIN_NS, F.regexp_replace(target_full, r"^[^:]*:", "")
     ).otherwise(target_full)
+    anchor = F.coalesce(F.nullif(rest, F.lit("")), title)
     tparts = F.split(title, "#")
     return links.select(
         "page_id",

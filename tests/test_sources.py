@@ -113,7 +113,9 @@ def test_parse_links_namespaces_and_nesting(spark):
     }
     assert (0, "Marie François Sadi Carnot", "", "Sadi Carnot") in got
     assert (0, "Issues in anarchism", "Communism", "communism") in got
-    assert (14, "Hereditary cancers", "", "Category:Hereditary cancers") in got
+    # default anchor is the namespace-STRIPPED target, as in the
+    # reference DumpLinkParser
+    assert (14, "Hereditary cancers", "", "Hereditary cancers") in got
     # the File link is one outer region; its nested links are not
     # separate rows (reference returns outermost complex regions)
     file_rows = [g for g in got if g[0] == 6]
@@ -186,6 +188,27 @@ def test_sql_insert_tuples_backslash_escape_and_extra_column(spark):
     assert got == {(1, "fr", "l'été"), (2, "de", "a\\b"), (3, "fr", "x")}
     stats = sqldump.tuple_counts(lines).collect()
     assert stats[0].raw_tuples == stats[0].parsed_tuples == 3
+
+
+def test_sql_insert_complete_insert_column_list(spark):
+    """mysqldump --complete-insert emits a column-list parenthetical
+    before VALUES; it must not be parsed as a (garbage) tuple, and
+    tuple_counts must not report it as a parsed tuple."""
+    os.makedirs(FIX, exist_ok=True)
+    p = os.path.join(FIX, "complete_insert.sql")
+    with open(p, "w") as f:
+        f.write(
+            "INSERT INTO `langlinks` (ll_from,ll_lang,ll_title) VALUES "
+            "(5,'fr','bonjour'),(6,'de','welt');\n"
+        )
+    lines = spark.read.text(p)
+    got = {
+        (r.page_id, r.lang, r.title)
+        for r in sqldump.parse_insert_tuples(lines).collect()
+    }
+    assert got == {(5, "fr", "bonjour"), (6, "de", "welt")}
+    stats = sqldump.tuple_counts(lines).collect()
+    assert stats[0].raw_tuples == stats[0].parsed_tuples == 2
 
 
 def test_repair_truncated_ids(spark):
