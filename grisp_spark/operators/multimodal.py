@@ -1,16 +1,20 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata, decoded / feature-extracted via Arrow-batched mapInPandas.
 
-The image/audio codec libraries are not in this container, so the
-decode kernels are deterministic stubs (clearly marked) — but the
-Spark-side plumbing is real and is the part that matters at scale:
-binary columns travel as Arrow LargeBinary batches, the decode stage
-is a mapInPandas over a size-capped batch iterator, and metadata
-lands as typed columns for pushdown-friendly filtering downstream.
-Swap ``_stub_decode`` for PIL/ffmpeg and nothing else changes."""
+The header DECODE path is real: ``parse_media_header`` parses PNG
+IHDR / JPEG SOF / WAV fmt headers with pure byte arithmetic (no codec
+libraries), and ``synth_media`` builds genuine headers with
+``struct.pack`` so the mm01 oracle checks an actual pack→parse
+round-trip. Full-frame pixel/sample decoding would need PIL/ffmpeg
+(not in this container), so the frame/feature/resize kernels remain
+deterministic stand-ins (clearly marked) — their Spark-side plumbing
+(Arrow LargeBinary batches through size-capped mapInPandas, typed
+metadata columns for pushdown-friendly filtering) is the part that
+matters at scale and is identical to what real codecs would sit in."""
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,13 +44,155 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _stub_decode(payload: bytes) -> tuple[int, int, str]:
-    """STUB: deterministic fake of an image header parse. Real
-    implementation would be PIL.Image.open(io.BytesIO(payload));
-    unavailable in this container."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (C4=DHT, C8=JPG
+# extension, CC=DAC are NOT frame headers)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_png(b: bytes) -> tuple[int, int, str] | None:
+    # signature, then the IHDR chunk must be first: length(4) type(4)
+    # width(4) height(4) — widths/heights big-endian at bytes 16..24
+    if len(b) < 24 or not b.startswith(_PNG_SIG) or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    return w, h, "png"
+
+
+def _parse_jpeg(b: bytes) -> tuple[int, int, str] | None:
+    # SOI, then walk marker segments ([0xFF, marker, len_hi, len_lo,
+    # payload...]) until a start-of-frame; SOF payload is
+    # precision(1) height(2) width(2)
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xFF:  # padding byte
+            pos += 1
+            continue
+        if marker in _JPEG_SOF:
+            if pos + 9 > len(b):
+                return None
+            h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+            return w, h, "jpeg"
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if seglen < 2:
+            return None
+        pos += 2 + seglen
+    return None
+
+
+def _parse_wav(b: bytes) -> tuple[int, int, str] | None:
+    # RIFF/WAVE container; walk chunks until 'fmt ': channels(2) at
+    # offset 2, sample rate(4) at offset 4, both little-endian.
+    # Reported as (width=sample_rate, height=channels) — the audio
+    # analogues of the image dims in the shared metadata schema.
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            if pos + 16 > len(b):
+                return None
+            channels, rate = struct.unpack("<HI", b[pos + 10 : pos + 16])
+            return rate, channels, "wav"
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    return None
+
+
+def parse_media_header(payload: bytes) -> tuple[int, int, str]:
+    """Real header parse — PNG IHDR, JPEG SOF, WAV fmt — by byte
+    arithmetic alone (struct.unpack, no codec libraries). Unknown or
+    truncated payloads classify as ('unknown', 0×0) rather than
+    raising: at 100 TB a corrupt blob must not kill the stage."""
     if not payload:
         return 0, 0, "empty"
-    return payload[0] % 64 + 1, len(payload) % 64 + 1, "fake"
+    for parser in (_parse_png, _parse_jpeg, _parse_wav):
+        meta = parser(payload)
+        if meta is not None:
+            return meta
+    return 0, 0, "unknown"
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media payloads with GENUINE headers, packed from
+    the document columns: doc_id%3 picks PNG/JPEG/WAV; image dims are
+    (doc_id%1920+1) × (n_chars%1080+1); WAV sample rate is
+    (doc_id%48)*1000+8000 with n_chars%8+1 channels. The text bytes
+    ride along as the opaque body, so payload length is
+    header_size + n_chars (headers: PNG 33, JPEG 33, WAV 44 bytes) —
+    everything an oracle can recompute from the table columns while
+    decode_metadata must actually parse the bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, kinds = [], []
+            for doc_id, n_chars, text in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["text"]
+            ):
+                body = (text or "").encode("utf-8")
+                kind = int(doc_id) % 3
+                if kind == 0:
+                    w, h = int(doc_id) % 1920 + 1, int(n_chars) % 1080 + 1
+                    head = (
+                        _PNG_SIG
+                        + struct.pack(">I", 13)
+                        + b"IHDR"
+                        + struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+                        + b"\x00\x00\x00\x00"  # CRC slot (not validated)
+                    )
+                    kinds.append("image/png")
+                elif kind == 1:
+                    w, h = int(doc_id) % 1920 + 1, int(n_chars) % 1080 + 1
+                    app0 = (
+                        b"\xff\xe0"
+                        + struct.pack(">H", 16)
+                        + b"JFIF\x00\x01\x01\x00"
+                        + struct.pack(">HH", 1, 1)
+                        + b"\x00\x00"
+                    )
+                    sof0 = (
+                        b"\xff\xc0"
+                        + struct.pack(">H", 11)
+                        + b"\x08"
+                        + struct.pack(">HH", h, w)
+                        + b"\x01\x01\x11\x00"
+                    )
+                    head = b"\xff\xd8" + app0 + sof0
+                    kinds.append("image/jpeg")
+                else:
+                    rate = (int(doc_id) % 48) * 1000 + 8000
+                    ch = int(n_chars) % 8 + 1
+                    head = (
+                        b"RIFF"
+                        + struct.pack("<I", 36 + len(body))
+                        + b"WAVE"
+                        + b"fmt "
+                        + struct.pack("<I", 16)
+                        + struct.pack(
+                            "<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16
+                        )
+                        + b"data"
+                        + struct.pack("<I", len(body))
+                    )
+                    kinds.append("audio/wav")
+                payloads.append(head + body)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": kinds,
+                }
+            )
+
+    return docs.select("doc_id", "n_chars", "text").mapInPandas(
+        run, schema="doc_id long, payload binary, media_type string"
+    )
 
 
 def decode_metadata(media: DataFrame) -> DataFrame:
@@ -57,7 +203,7 @@ def decode_metadata(media: DataFrame) -> DataFrame:
             widths, heights, fmts, nbytes = [], [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                w, h, f = _stub_decode(b)
+                w, h, f = parse_media_header(b)
                 widths.append(w)
                 heights.append(h)
                 fmts.append(f)

@@ -98,8 +98,12 @@ def ta04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm01_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pack→parse round-trip: synth_media builds genuine PNG IHDR
+    / JPEG SOF / WAV fmt headers from the doc columns with struct.pack;
+    decode_metadata must parse the BYTES back (parse_media_header);
+    the oracle recomputes the expected metadata from the columns."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.decode_metadata(multimodal.attach_payload(docs)).orderBy(
+    return multimodal.decode_metadata(multimodal.synth_media(docs)).orderBy(
         "doc_id"
     )
 
@@ -458,10 +462,16 @@ ORACLES: dict[str, str] = {
     """,
     "mm01_decode_metadata": """
         SELECT doc_id,
-               CAST(length(text) AS INTEGER) AS n_bytes,
-               CAST(ascii(text) % 64 + 1 AS INTEGER) AS width,
-               CAST(length(text) % 64 + 1 AS INTEGER) AS height,
-               'fake' AS format
+               CAST(length(text)
+                    + CASE WHEN doc_id % 3 = 2 THEN 44 ELSE 33 END
+                 AS INTEGER) AS n_bytes,
+               CAST(CASE WHEN doc_id % 3 = 2
+                         THEN (doc_id % 48) * 1000 + 8000
+                         ELSE doc_id % 1920 + 1 END AS INTEGER) AS width,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN n_chars % 8 + 1
+                         ELSE n_chars % 1080 + 1 END AS INTEGER) AS height,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    ELSE 'wav' END AS format
         FROM documents ORDER BY doc_id
     """,
 }

@@ -1,0 +1,139 @@
+"""Header-parser unit tests (pure python — no Spark needed) plus the
+pack→parse round-trip through the Spark stages.
+
+The mm01 oracle (tests/test_entry_contract.py) checks the full
+round-trip against DuckDB; these tests pin the parser semantics on
+hand-built buffers, including the malformed cases the oracle can't
+reach."""
+
+import struct
+
+from grisp_spark.operators.multimodal import parse_media_header
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png(w, h):
+    return (
+        PNG_SIG
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def _jpeg(w, h, *, pad=False, extra_segments=()):
+    out = b"\xff\xd8"
+    for seg in extra_segments:
+        out += seg
+    if pad:
+        out += b"\xff"  # marker padding byte before the next segment
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    return out
+
+
+def _wav(rate, channels, *, leading_chunk=False):
+    fmt = (
+        b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    )
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00" if leading_chunk else b""
+    body = junk + fmt + b"data" + struct.pack("<I", 0)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_png_header():
+    assert parse_media_header(_png(1920, 1080)) == (1920, 1080, "png")
+    assert parse_media_header(_png(1, 1) + b"trailing-bytes") == (1, 1, "png")
+
+
+def test_png_malformed():
+    assert parse_media_header(PNG_SIG) == (0, 0, "unknown")  # truncated
+    bad = PNG_SIG + struct.pack(">I", 13) + b"XXXX" + b"\x00" * 17
+    assert parse_media_header(bad) == (0, 0, "unknown")  # IHDR not first
+
+
+def test_jpeg_sof_after_app0():
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    assert parse_media_header(_jpeg(640, 480, extra_segments=(app0,))) == (
+        640, 480, "jpeg",
+    )
+
+
+def test_jpeg_padding_and_progressive_sof2():
+    # 0xFF padding bytes between segments must be skipped; SOF2
+    # (progressive) carries dims like SOF0
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 7, 9) + b"\x01\x01\x11\x00"
+    )
+    assert parse_media_header(b"\xff\xd8\xff" + sof2) == (9, 7, "jpeg")
+    assert parse_media_header(_jpeg(3, 4, pad=True)) == (3, 4, "jpeg")
+
+
+def test_jpeg_dht_is_not_a_frame_header():
+    # C4 (DHT) must be walked over, not read as dimensions
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    assert parse_media_header(_jpeg(11, 22, extra_segments=(dht,))) == (
+        11, 22, "jpeg",
+    )
+
+
+def test_jpeg_malformed():
+    assert parse_media_header(b"\xff\xd8") == (0, 0, "unknown")  # no SOF
+    assert parse_media_header(b"\xff\xd8\x00\x00\x00\x00") == (0, 0, "unknown")
+
+
+def test_wav_fmt_chunk():
+    assert parse_media_header(_wav(44100, 2)) == (44100, 2, "wav")
+    # fmt need not be the first chunk
+    assert parse_media_header(_wav(8000, 1, leading_chunk=True)) == (
+        8000, 1, "wav",
+    )
+
+
+def test_wav_malformed():
+    assert parse_media_header(b"RIFF\x00\x00\x00\x00WAVE") == (0, 0, "unknown")
+    assert parse_media_header(b"RIFX1234WAVE") == (0, 0, "unknown")
+
+
+def test_empty_and_unknown():
+    assert parse_media_header(b"") == (0, 0, "empty")
+    assert parse_media_header(b"plain text payload") == (0, 0, "unknown")
+
+
+def test_synth_roundtrip_spark(spark, sf_dir):
+    """synth_media headers parse back to exactly the values the mm01
+    oracle recomputes from the columns (spot-checked here; the full
+    DuckDB comparison runs in test_entry_contract)."""
+    from grisp_spark.operators import multimodal
+    from grisp_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    meta = {
+        r.doc_id: (r.width, r.height, r.format)
+        for r in multimodal.decode_metadata(multimodal.synth_media(docs)).collect()
+    }
+    for r in docs.select("doc_id", "n_chars").collect():
+        kind = r.doc_id % 3
+        if kind == 2:
+            expect = ((r.doc_id % 48) * 1000 + 8000, r.n_chars % 8 + 1, "wav")
+        else:
+            expect = (
+                r.doc_id % 1920 + 1,
+                r.n_chars % 1080 + 1,
+                "png" if kind == 0 else "jpeg",
+            )
+        assert meta[r.doc_id] == expect
