@@ -215,7 +215,21 @@ def kg07_triples_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     a label's 'tool'-role sense redirects to the label's min-id
     sense — one-level star components exercising the CC machinery
     (deep chains are covered by q13/test_closure)."""
-    from grisp_spark.kg import canonicalize, linking, spec
+    from grisp_spark.kg import canonicalize, linking
+
+    conv, kb = _prior_corpus_kb(spark, sf_dir)
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    canon_bc = canonicalize.canonical_map_broadcast(spark, kb["entities"])
+    return linking.link_and_extract(
+        conv, gaz_bc, evec_bc, canon_bc, score_mode="prior"
+    ).orderBy("conv_id", "turn_idx", "pred", "subj", "obj")
+
+
+def _prior_corpus_kb(spark: SparkSession, sf_dir: str):
+    """The kg07/q39 shared setup: derived transcripts + the
+    self-bootstrapped prior-mode KB (dense ids, tool-role redirect
+    stars) — see kg07_triples_prior for the semantics notes."""
+    from grisp_spark.kg import spec
 
     conv = derive_conversations(spark, sf_dir)
     toks = conv.select(
@@ -268,12 +282,26 @@ def kg07_triples_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("from_title"),
         F.lit(False).alias("from_redirect"),
     )
-    kb = {"entities": entities, "label_stats": label_stats}
-    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
-    canon_bc = canonicalize.canonical_map_broadcast(spark, entities)
-    return linking.link_and_extract(
-        conv, gaz_bc, evec_bc, canon_bc, score_mode="prior"
-    ).orderBy("conv_id", "turn_idx", "pred", "subj", "obj")
+    return conv, {"entities": entities, "label_stats": label_stats}
+
+
+def q39_triples_prior_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kg07's exact pipeline with the linking stage swapped to the
+    oversized-gazetteer SHUFFLE-JOIN path (kg/linking_shuffle — no
+    broadcast dict, no driver collect of the KB) feeding the staged
+    canonicalize → extract_triples stages; checked against the SAME
+    DuckDB oracle as kg07, so the distributed-KB plan is
+    driver-certified end to end."""
+    from grisp_spark.kg import canonicalize, linking_shuffle
+    from grisp_spark.kg.triples import extract_triples
+
+    conv, kb = _prior_corpus_kb(spark, sf_dir)
+    linked = linking_shuffle.link_mentions_shuffle(conv, kb, score_mode="prior")
+    canon = canonicalize.canonical_map(kb["entities"])
+    trips = extract_triples(canonicalize.rewrite_linked(linked, canon))
+    return trips.select("conv_id", "turn_idx", "subj", "pred", "obj").orderBy(
+        "conv_id", "turn_idx", "pred", "subj", "obj"
+    )
 
 
 _BASE = f"WITH conv AS ({DERIVE_CONVERSATIONS_SQL})"
@@ -444,11 +472,14 @@ ORACLES["kg07_triples_prior"] = f"""
     FROM trip ORDER BY conv_id, turn_idx, pred, subj, obj
 """
 
+ORACLES["q39_triples_prior_shuffle"] = ORACLES["kg07_triples_prior"]
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
     if callable(fn) and name.startswith("kg0")
 }
+QUERIES["q39_triples_prior_shuffle"] = q39_triples_prior_shuffle
 
 # Driver-visible aliases: the driver's correctness gate only evaluates
 # q/dd/ss/ta/mm-prefixed names (CORRECTNESS_r02 had no row for any kg*

@@ -1,0 +1,108 @@
+"""Shuffle-join linking parity: the oversized-gazetteer path must be
+row-identical to the broadcast path on the planted synthetic corpus
+(every score mode), and its plan must contain no broadcast of the KB
+when broadcasting is disabled."""
+
+import pytest
+
+from grisp_spark.kg import canonicalize, datagen, linking, linking_shuffle
+from grisp_spark.plans import physical_plan as _plan
+
+DATA = "/root/repo/.data/shuffle_parity"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    datagen.write_dataset(DATA, seed=11, n_convs=120)
+    conv = spark.read.parquet(f"{DATA}/conversations.parquet")
+    kb = {
+        n: spark.read.parquet(f"{DATA}/{n}.parquet")
+        for n in ("entities", "aliases", "label_stats")
+    }
+    return conv, kb
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select(
+            "conv_id", "turn_idx", "role", "begin", "end", "surface",
+            "entity_id", "score",
+        ).collect()
+    )
+
+
+@pytest.mark.parametrize("score_mode", ["centroid", "prior", "lr"])
+def test_shuffle_matches_broadcast(spark, corpus, score_mode):
+    conv, kb = corpus
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    broadcast_rows = _rows(
+        linking.link_mentions(conv, gaz_bc, evec_bc, 8, score_mode)
+    )
+    shuffle_rows = _rows(
+        linking_shuffle.link_mentions_shuffle(conv, kb, 8, score_mode)
+    )
+    assert broadcast_rows, "parity test needs non-empty linked output"
+    assert shuffle_rows == broadcast_rows
+
+
+def test_adaptive_picks_shuffle_above_threshold(spark, corpus):
+    conv, kb = corpus
+    small = linking_shuffle.link_mentions_adaptive(
+        conv, kb, 8, "prior", broadcast_label_limit=10**9
+    )
+    big = linking_shuffle.link_mentions_adaptive(
+        conv, kb, 8, "prior", broadcast_label_limit=0
+    )
+    assert _rows(small) == _rows(big)
+
+
+def test_no_broadcast_of_kb_above_threshold(spark, corpus):
+    """With auto-broadcast off (the stand-in for 'KB too big to
+    broadcast'), every KB join in the shuffle path must be a shuffle
+    join (SortMergeJoin/ShuffledHashJoin) — the whole point of the
+    variant. The broadcast path would still do a driver toPandas; this
+    one never touches the driver."""
+    conv, kb = corpus
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        df = linking_shuffle.link_mentions_shuffle(conv, kb, 8, "centroid")
+        plan = _plan(df)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # still produces the rows under the degraded-broadcast config
+        assert df.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_shuffle_path_feeds_staged_pipeline(spark, corpus):
+    """Linked mentions from the shuffle path drive the same downstream
+    canonicalize→triples stages: the triple sets agree with the
+    broadcast-path fused extraction."""
+    from grisp_spark.kg.triples import extract_triples
+
+    conv, kb = corpus
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    canon_bc = canonicalize.canonical_map_broadcast(spark, kb["entities"])
+    fused = linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc, 8)
+
+    linked = linking_shuffle.link_mentions_shuffle(conv, kb, 8)
+    canon = canonicalize.canonical_map(kb["entities"])
+    staged = extract_triples(
+        canonicalize.rewrite_linked(linked, canon)
+    ).select("conv_id", "turn_idx", "subj", "pred", "obj")
+
+    a = sorted(tuple(r) for r in fused.collect())
+    b = sorted(tuple(r) for r in staged.collect())
+    assert a == b
