@@ -120,10 +120,12 @@ def _evec_pack(evecs: dict, cache_key: int):
     if pack is None:
         eids = sorted(evecs)
         idx = {e: i for i, e in enumerate(eids)}
+        # stored float64 (exact embedding of the float32 vectors) so
+        # the per-candidate gather feeds cosine_batch conversion-free
         E = (
-            np.stack([evecs[e] for e in eids]).astype(np.float32)
+            np.stack([evecs[e] for e in eids], dtype=np.float64)
             if eids
-            else np.zeros((0, spec.EMBED_DIM), dtype=np.float32)
+            else np.zeros((0, spec.EMBED_DIM), dtype=np.float64)
         )
         _EVEC_PACK_CACHE.clear()
         _EVEC_PACK_CACHE[cache_key] = pack = (idx, E)
@@ -132,22 +134,31 @@ def _evec_pack(evecs: dict, cache_key: int):
 
 # memory budget for one scoring chunk: flattened context vectors are
 # COPIED by np.stack (the per-word arrays themselves are cache refs),
-# so cap the copy at ~2M 32-dim rows (~256 MB f32 + transient f64)
+# so cap the copy at ~2M 32-dim rows (~512 MB stacked directly as f64)
 MAX_CTX_ROWS_PER_CHUNK = 2_000_000
 
 
 def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
     """Centroid-mode scoring for a WHOLE Arrow batch in a few numpy
-    ops instead of 3-4 small numpy calls per mention: flatten the
-    mention contexts, one reduceat per chunk for the centroids, one
-    row-wise cosine for all (mention, candidate) pairs, one lexsort
-    argmax (spec.pick_batch). Bit-identical to the per-row path
-    because spec.centroid/cosine are single-segment wrappers of the
-    same batch primitives, and chunking is per-mention (segment math
-    is unaffected). Chunks bound worker memory on long texts."""
+    ops instead of 3-4 small numpy calls per mention: intern the
+    batch's distinct context words into one small float64 matrix,
+    GATHER the per-mention context rows by integer index (C-speed —
+    stacking ~1M tiny arrays was 2s/100k rows), one reduceat per chunk
+    for the centroids, one row-wise cosine for all (mention,
+    candidate) pairs, one lexsort argmax (spec.pick_batch).
+    Bit-identical to the per-row path because spec.centroid/cosine are
+    single-segment wrappers of the same batch primitives, gathered
+    rows are the exact float32 word vectors (float64 embedding is
+    exact), and chunking is per-mention (segment math is unaffected).
+    Chunks bound worker memory on long texts."""
     eidx, E = evec_pack
     vf = vec_fn or _cached_word_vec
-    kept_by_mention: list[list[np.ndarray]] = []
+    # per-batch word interning: word → row in the unique-vector matrix
+    # (−1 = OOV under a file-backed store); typically ≪ total
+    # occurrences, so the float64 conversion runs once per word
+    widx: dict[str, int] = {}
+    wvecs: list[np.ndarray] = []
+    kept_by_mention: list[list[int]] = []
     cand_mid: list[int] = []
     cand_eidx: list[int] = []
     cand_eid: list[int] = []
@@ -155,13 +166,20 @@ def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
     meta: list[tuple[int, int, int, str]] = []  # (row_i, begin, end, surface)
     for row_i, (tokens, found) in enumerate(zip(tokens_by_row, found_by_row)):
         for begin, end, surface in found:
-            kept_by_mention.append(
-                [
-                    v
-                    for v in (vf(w) for w in tokens[:begin] + tokens[end:])
-                    if v is not None
-                ]
-            )
+            kept: list[int] = []
+            for w in tokens[:begin] + tokens[end:]:
+                i = widx.get(w, -2)
+                if i == -2:
+                    v = vf(w)
+                    if v is None:
+                        i = -1
+                    else:
+                        i = len(wvecs)
+                        wvecs.append(v)
+                    widx[w] = i
+                if i >= 0:
+                    kept.append(i)
+            kept_by_mention.append(kept)
             senses = gaz[surface]
             total = sum(s[1] for s in senses)
             m = len(meta)
@@ -175,6 +193,11 @@ def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
     n_mentions = len(meta)
     if not n_mentions:
         return picked_by_row
+    M = (
+        np.stack(wvecs, dtype=np.float64)
+        if wvecs
+        else np.zeros((0, spec.EMBED_DIM), dtype=np.float64)
+    )
     mid_a = np.asarray(cand_mid, dtype=np.int64)
     eid_a = np.asarray(cand_eid, dtype=np.int64)
     eidx_a = np.asarray(cand_eidx, dtype=np.int64)
@@ -192,7 +215,10 @@ def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
         cents = np.zeros((end - start, spec.EMBED_DIM), dtype=np.float32)
         mask = counts_c > 0
         if rows:
-            W = np.stack([v for k in chunk for v in k])
+            flat = np.asarray(
+                [i for k in chunk for i in k], dtype=np.int64
+            )
+            W = M[flat]
             starts_c = np.concatenate(([0], np.cumsum(counts_c)[:-1]))
             cents[mask] = spec.centroid_batch(W, starts_c[mask], counts_c[mask])
         # candidates of this mention chunk (cand_mid is nondecreasing)

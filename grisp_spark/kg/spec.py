@@ -185,9 +185,11 @@ def seq_dot_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 def centroid_batch(W: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Normalized mean per segment of stacked word vectors ``W``
-    (float32 in, float32 out; float64 accumulation; empty segments are
-    not representable — callers map them to the zero vector)."""
-    W64 = W.astype(np.float64)
+    (float32 or float64 in — float32→float64 embedding is exact, so
+    callers may pre-convert to skip a copy; float32 out; float64
+    accumulation; empty segments are not representable — callers map
+    them to the zero vector)."""
+    W64 = W.astype(np.float64, copy=False)
     sums = np.add.reduceat(W64, starts, axis=0)
     m = sums / np.asarray(counts, dtype=np.float64)[:, None]
     nrm = np.sqrt(seq_dot_rows(m, m))
@@ -198,6 +200,10 @@ def centroid_batch(W: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.
 
 def cosine_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Row-wise cosine with the zero-norm → 0.0 guard."""
+    # convert once (exact float32→float64) — the three seq_dot_rows
+    # calls below would otherwise each re-copy both matrices
+    A = A.astype(np.float64, copy=False)
+    B = B.astype(np.float64, copy=False)
     na = np.sqrt(seq_dot_rows(A, A))
     nb = np.sqrt(seq_dot_rows(B, B))
     denom = na * nb
