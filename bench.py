@@ -28,9 +28,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
 # scaling runs need the job big enough that per-core work dominates
-# the ~4s fixed cost (broadcast build + layout + scheduling); doubled
-# after the batched scorer made the kernel ~2x faster
+# the ~4s fixed cost (broadcast build + layout + scheduling); 500k
+# convs = 4.5M turns ≈ 70s at the local[2] leg. Bigger is fine too —
+# 1M convs measured FASTER per turn under the 32-split protocol
+# (BENCH/BASELINE.md r3 data-scaling note) — this is just the
+# smallest size whose measured legs sit far above the fixed cost
 SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "500000"))
+# measured passes per leg in a scaling run; best-of reported (see
+# main_job) with every pass printed alongside
+SCALE_PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3"))
+# input splits for the scaling job, fixed across both parallelism
+# levels like a real cluster's input splits. 32 splits (4 waves at
+# the local[8] leg) measure ~0.87-0.93 efficiency where 8 coarse
+# splits read 0.67-0.93 across runs: finer tasks shrink the
+# straggler tail that host-oversubscription noise inflicts on the
+# 8-core leg. The local[32]-collapse concern behind the headline
+# bench's 8-partition default doesn't apply here — the scaling pair
+# never runs more than 8 python workers at once.
+SCALE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "32"))
 
 
 def _data_dir(n_convs: int) -> str:
@@ -97,7 +112,7 @@ def _materialize(df) -> int:
 KG_JOB_PARTITIONS = int(os.environ.get("SPARK_GRAFT_KG_PARTITIONS", "8"))
 
 
-def run_kg_job(spark, data_dir: str) -> tuple[int, float]:
+def run_kg_job(spark, data_dir: str, partitions: int = None) -> tuple[int, float]:
     """The scaling-benchmark job: full linking + canonicalization +
     triple extraction via the fused map-side path (one layout shuffle,
     then embarrassingly parallel — grisp's map-side architecture; the
@@ -116,7 +131,8 @@ def run_kg_job(spark, data_dir: str) -> tuple[int, float]:
     gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
     canon_bc = canonicalize.canonical_map_broadcast(spark, kb["entities"])
     trip = linking.link_and_extract(
-        conv, gaz_bc, evec_bc, canon_bc, KG_JOB_PARTITIONS
+        conv, gaz_bc, evec_bc, canon_bc,
+        KG_JOB_PARTITIONS if partitions is None else partitions,
     )
     _materialize(trip)
     return n_turns, time.monotonic() - t0
@@ -170,11 +186,22 @@ def main_job(cores: int) -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     data_dir = ensure_bench_dataset(SCALE_CONVS)
-    # warm-up pass (JIT, parquet footer cache), then the measured pass
-    run_kg_job(spark, data_dir)
-    n_turns, sec = run_kg_job(spark, data_dir)
+    # warm-up pass (JIT, parquet footer cache), then SCALE_PASSES
+    # measured passes; best-of is reported because the host's vCPU
+    # oversubscription injects one-sided noise (a co-tenant burst can
+    # only slow a pass down, never speed it up) and it hits the
+    # higher-parallelism leg hardest — both legs get the identical
+    # protocol, all passes are printed for the record
+    run_kg_job(spark, data_dir, SCALE_PARTITIONS)
+    passes = [
+        run_kg_job(spark, data_dir, SCALE_PARTITIONS)
+        for _ in range(SCALE_PASSES)
+    ]
+    n_turns = passes[0][0]
+    sec = min(s for _, s in passes)
     print(json.dumps({"cores": cores, "turns": n_turns, "sec": round(sec, 3),
-                      "turns_per_sec": round(n_turns / sec, 1)}))
+                      "turns_per_sec": round(n_turns / sec, 1),
+                      "pass_secs": [round(s, 3) for _, s in passes]}))
 
 
 def main_scaling() -> None:
