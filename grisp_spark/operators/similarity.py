@@ -105,29 +105,18 @@ def neardup_pairs_lsh(
     ~2^bits. Sign-bucket LSH guarantees recall only for pairs agreeing
     on the leading sign bits (threshold 0.4 pairs almost always do;
     raise recall via multi-probe or fewer bits). Candidate scoring is
-    the same dim-sequential Arrow kernel → cosines bit-match DuckDB."""
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), bits))
-    a = bucketed.select(
-        "bucket",
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        norm(F.col("embedding"), dim).alias("na"),
-    )
-    b = bucketed.select(
-        "bucket",
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        norm(F.col("embedding"), dim).alias("nb"),
-    )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("va") < F.col("vb"))
-        .withColumn(
-            "cos", dot(F.col("ea"), F.col("eb"), dim) / (F.col("na") * F.col("nb"))
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("va", "vb", "cos")
-        .orderBy("va", "vb")
+    the same dim-sequential Arrow kernel → cosines bit-match DuckDB.
+
+    Delegates to ``neardup_pairs_lsh_multi`` with a single table over
+    dims [1, 1+bits) — identical semantics (the first table of the
+    family IS this bucket), and the multi plan shape is the one that
+    avoids the Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND binding
+    bug: hand-built variants of the same pipeline (UDF norms on the
+    self-join inputs, or even slim candidate join + UDF join-back)
+    fail to bind when dd07 is the first query planned in a fresh
+    session; the posexploded-table shape does not."""
+    return neardup_pairs_lsh_multi(
+        emb, dim=dim, threshold=threshold, n_tables=1, bits=bits
     )
 
 
