@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grisp_spark.operators import dedup, multimodal, similarity, textstats
+from grisp_spark.operators import corpus, dedup, multimodal, similarity, textstats
 from grisp_spark.sources.testdata import load_table
 
 
@@ -58,6 +58,47 @@ def dd08_embed_neardup_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd07 < dd08 ≤ dd06."""
     return similarity.neardup_pairs_lsh_multi(
         load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
+
+
+def dd09_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters (n-gram Jaccard pairs → connected components)
+    collapsed to one survivor per cluster — the step that turns pair
+    detection (dd03-dd08) into an actual deduplicated corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.1)
+    return corpus.dedup_survivors(docs, pairs)
+
+
+SAMPLE_RATES = {"en": 0.35, "zh": 0.9}
+SAMPLE_DEFAULT = 0.7
+SAMPLE_SALT = "mix-v1"
+
+
+def ta05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-md5 stratified sampling: cap the head
+    language at 35% while keeping the tail — corpus mix control with
+    no RNG state (reproducible across engines and cluster sizes)."""
+    return corpus.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT,
+        salt=SAMPLE_SALT,
+    )
+
+
+PACK_BUDGET = 100
+PACK_SHARDS = 8
+
+
+def ta06_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing per shard (LLM context
+    assembly); the stateful per-shard pass runs in applyInPandas and
+    is replayed exactly by a recursive-CTE oracle."""
+    return corpus.pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
     )
 
 
@@ -203,6 +244,52 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
         ORDER BY doc_a, doc_b
+    """,
+    "dd09_dedup_survivors": f"""
+        WITH RECURSIVE {_SHINGLES},
+        df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+        shr AS (SELECT sh.* FROM sh JOIN df USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shr a JOIN shr b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
+        ),
+        comp AS (
+            SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+        ),
+        dup AS (
+            SELECT d.doc_id, c.component,
+                   first_value(d.doc_id) OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS survivor_id
+            FROM documents d JOIN comp c ON d.doc_id = c.id
+        ),
+        solo AS (
+            SELECT doc_id, doc_id AS component, doc_id AS survivor_id
+            FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)
+        ),
+        allrows AS (SELECT * FROM dup UNION ALL SELECT * FROM solo)
+        SELECT doc_id, component, survivor_id,
+               doc_id = survivor_id AS is_survivor
+        FROM allrows ORDER BY doc_id
     """,
     "dd05_simhash": """
         WITH tok AS (
@@ -400,6 +487,46 @@ ORACLES: dict[str, str] = {
                        list_transform(toks, x -> CAST(ascii(x) + length(x) AS BIGINT))),
                    (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
         FROM t ORDER BY doc_id
+    """,
+    "ta05_stratified_sample": f"""
+        WITH b AS (
+            SELECT doc_id, lang, source,
+                   substr(md5('{SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)),
+                          1, 8) AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, source, bucket FROM b
+        WHERE bucket < CASE lang
+            WHEN 'en' THEN '{corpus._rate_threshold_hex(SAMPLE_RATES["en"])}'
+            WHEN 'zh' THEN '{corpus._rate_threshold_hex(SAMPLE_RATES["zh"])}'
+            ELSE '{corpus._rate_threshold_hex(SAMPLE_DEFAULT)}' END
+        ORDER BY doc_id
+    """,
+    "ta06_pack_sequences": f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), o AS (
+            SELECT shard, doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                     AS rn
+            FROM toks
+        ), rec(shard, rn, doc_id, n_tokens, pack_id, running) AS (
+            SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+                   CASE WHEN rec.running + o.n_tokens > {PACK_BUDGET}
+                        THEN rec.pack_id + 1 ELSE rec.pack_id END,
+                   CASE WHEN rec.running + o.n_tokens > {PACK_BUDGET}
+                        THEN o.n_tokens
+                        ELSE rec.running + o.n_tokens END
+            FROM rec JOIN o ON o.shard = rec.shard AND o.rn = rec.rn + 1
+        )
+        SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens, pack_id
+        FROM rec ORDER BY shard, doc_id
     """,
     "mm02_sample_frames": """
         -- byte slices expressed as substr: valid because the corpus is
