@@ -308,23 +308,44 @@ def topk_lsh(
     bits: int = LSH_BITS,
 ) -> DataFrame:
     """ANN top-k within the query's LSH bucket (the scale path:
-    equi-join on bucket instead of a cross join)."""
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), bits))
-    q = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        norm(F.col("embedding"), dim).alias("q_norm"),
-        "bucket",
+    equi-join on bucket instead of a cross join).
+
+    Plan shape per the Catalyst binding-bug lesson (see
+    neardup_pairs_lsh): candidate generation runs on SLIM
+    (vec_id, bucket) rows with the bucket routed through a 1-element
+    posexplode — the Generate node is what forces a clean attribute
+    re-base (slim joins without it, UDF-norms on the join sides, and
+    a localCheckpoint barrier all still fail to bind when this is the
+    first query planned in a session) — and embeddings + the
+    pandas-UDF norm join back for candidates only."""
+    buckets = emb.select(
+        "vec_id",
+        F.posexplode(F.array(lsh_bucket(F.col("embedding"), bits))).alias(
+            "table_id", "bucket"
+        ),
+    ).select("vec_id", "bucket")
+    qb = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "bucket"
     )
-    c = bucketed.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        norm(F.col("embedding"), dim).alias("c_norm"),
-        "bucket",
+    cand = (
+        buckets.join(F.broadcast(qb), "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+    )
+    with_norm = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding"), dim).alias("nrm")
+    )
+    x = with_norm.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
+    y = with_norm.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("q_id") != F.col("c_id"))
+        cand.join(x, "q_id")
+        .join(y, "c_id")
         .withColumn(
             "cos",
             dot(F.col("q_emb"), F.col("c_emb"), dim)

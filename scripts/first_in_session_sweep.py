@@ -1,0 +1,52 @@
+"""Run every queries() entry as the FIRST query of a fresh Spark
+session at sf0.01 — the plan shape the driver may present and the one
+that trips Catalyst's INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on pandas-UDF
+self-joins (see operators/similarity.py::neardup_pairs_lsh). One
+subprocess per query; prints FAIL lines and a summary.
+
+Usage: python scripts/first_in_session_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_CHILD = """
+import sys
+import __spark_entry__ as e
+from grisp_spark.session import get_spark
+spark = get_spark("sweep", cores=8, shuffle_partitions=8,
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+e.queries()[sys.argv[1]](spark, sys.argv[2]).write.format("noop").mode(
+    "overwrite").save()
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import __spark_entry__ as entry_mod
+
+    names = sorted(entry_mod.queries())
+    failures = []
+    for i, name in enumerate(names):
+        r = subprocess.run(
+            [sys.executable, "-c", _CHILD, name, sf_dir],
+            capture_output=True, text=True, cwd=root,
+        )
+        status = "ok" if r.returncode == 0 else "FAIL"
+        print(f"[{i + 1}/{len(names)}] {name}: {status}", flush=True)
+        if r.returncode != 0:
+            failures.append(name)
+            tail = [ln for ln in r.stderr.splitlines() if "Error" in ln][:2]
+            print("    " + "\n    ".join(tail), flush=True)
+    print(f"SWEEP DONE: {len(names) - len(failures)}/{len(names)} ok; "
+          f"failures: {failures}", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
