@@ -115,6 +115,48 @@ def stratified_sample(
     )
 
 
+def build_training_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    min_tokens: int,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str,
+    budget: int,
+    n_shards: int,
+) -> DataFrame:
+    """End-to-end corpus build: near-dup survivor selection → minimum
+    token-count filter → deterministic stratified sampling → greedy
+    sequence packing. Every stage is semi-joined on doc_id so the
+    document payload is scanned once, at the end, by pack_sequences.
+
+    The length gate is an integer token count rather than the float
+    quality score (textstats.quality_score) on purpose: a hard filter
+    threshold on a float computed independently by two engines is a
+    correctness knife-edge (a row landing within one ulp of the
+    threshold flips between engines), while integer comparisons are
+    exact everywhere."""
+    surv = (
+        dedup_survivors(docs, pairs)
+        .filter(F.col("is_survivor"))
+        .select("doc_id")
+    )
+    long_enough = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= min_tokens
+    ).select("doc_id")
+    kept = (
+        docs.join(surv, "doc_id", "left_semi")
+        .join(long_enough, "doc_id", "left_semi")
+    )
+    sampled = stratified_sample(kept, rates, default_rate, salt).select(
+        "doc_id"
+    )
+    return pack_sequences(
+        docs.join(sampled, "doc_id", "left_semi"), budget=budget,
+        n_shards=n_shards,
+    )
+
+
 PACK_SCHEMA = "shard long, doc_id long, n_tokens long, pack_id long"
 
 

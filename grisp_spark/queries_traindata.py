@@ -102,6 +102,31 @@ def ta06_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_MIN_TOKENS = 12
+CORPUS_RATES = {"en": 0.5}
+CORPUS_DEFAULT = 0.8
+CORPUS_SALT = "corpus-v1"
+
+
+def ta07_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build composing the corpus
+    operators: near-dup survivors → min-token filter → stratified
+    sample → greedy packing. The full composition is replayed by one
+    DuckDB statement (recursive CTEs for closure and packing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.1)
+    return corpus.build_training_corpus(
+        docs,
+        pairs,
+        min_tokens=CORPUS_MIN_TOKENS,
+        rates=CORPUS_RATES,
+        default_rate=CORPUS_DEFAULT,
+        salt=CORPUS_SALT,
+        budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+    )
+
+
 def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_bruteforce(
         load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10, dim=64
@@ -192,6 +217,54 @@ _SIG = f"""
     )
 """
 
+# Shared CTE chain: jaccard pairs (dd04 semantics) → undirected edges
+# → transitive closure (recursive) → components (min reachable id) →
+# longest-doc survivor per component; `allrows` has one row per doc
+# (doc_id, component, survivor_id). Used by dd09 and ta07; callers
+# prepend WITH RECURSIVE.
+_SURVIVOR_CTES = f"""{_SHINGLES},
+        dfr AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+        shr AS (SELECT sh.* FROM sh JOIN dfr USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shr a JOIN shr b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
+        ),
+        comp AS (
+            SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+        ),
+        dup AS (
+            SELECT d.doc_id, c.component,
+                   first_value(d.doc_id) OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS survivor_id
+            FROM documents d JOIN comp c ON d.doc_id = c.id
+        ),
+        solo AS (
+            SELECT doc_id, doc_id AS component, doc_id AS survivor_id
+            FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)
+        ),
+        allrows AS (SELECT * FROM dup UNION ALL SELECT * FROM solo)"""
+
+
 def _dot(a: str, b: str, dim: int = 64) -> str:
     """Flat left-associated product sum — the exact addition order of
     operators/similarity.dot, so doubles match Spark bit-for-bit."""
@@ -246,47 +319,7 @@ ORACLES: dict[str, str] = {
         ORDER BY doc_a, doc_b
     """,
     "dd09_dedup_survivors": f"""
-        WITH RECURSIVE {_SHINGLES},
-        df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
-        shr AS (SELECT sh.* FROM sh JOIN df USING (shingle)),
-        sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM shr a JOIN shr b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        pairs AS (
-            SELECT doc_a, doc_b FROM inter
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id
-            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
-        ),
-        edges AS (
-            SELECT doc_a AS s, doc_b AS d FROM pairs
-            UNION
-            SELECT doc_b AS s, doc_a AS d FROM pairs
-        ),
-        reach(id, r) AS (
-            SELECT s, d FROM edges
-            UNION
-            SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
-        ),
-        comp AS (
-            SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
-        ),
-        dup AS (
-            SELECT d.doc_id, c.component,
-                   first_value(d.doc_id) OVER (
-                       PARTITION BY c.component
-                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS survivor_id
-            FROM documents d JOIN comp c ON d.doc_id = c.id
-        ),
-        solo AS (
-            SELECT doc_id, doc_id AS component, doc_id AS survivor_id
-            FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)
-        ),
-        allrows AS (SELECT * FROM dup UNION ALL SELECT * FROM solo)
+        WITH RECURSIVE {_SURVIVOR_CTES}
         SELECT doc_id, component, survivor_id,
                doc_id = survivor_id AS is_survivor
         FROM allrows ORDER BY doc_id
@@ -527,6 +560,52 @@ ORACLES: dict[str, str] = {
         SELECT CAST(shard AS BIGINT) AS shard, doc_id,
                CAST(n_tokens AS BIGINT) AS n_tokens, pack_id
         FROM rec ORDER BY shard, doc_id
+    """,
+    "ta07_corpus_pipeline": f"""
+        WITH RECURSIVE {_SURVIVOR_CTES},
+        surv AS (
+            SELECT doc_id FROM allrows WHERE doc_id = survivor_id
+        ),
+        kept AS (
+            SELECT d.doc_id, d.lang, d.text FROM documents d
+            JOIN surv USING (doc_id)
+            WHERE len(string_split(d.text, ' ')) >= {CORPUS_MIN_TOKENS}
+        ),
+        samp AS (
+            SELECT doc_id FROM kept
+            WHERE substr(md5('{CORPUS_SALT}:' || CAST(doc_id AS VARCHAR)),
+                         1, 8)
+                < CASE lang
+                    WHEN 'en' THEN '{corpus._rate_threshold_hex(CORPUS_RATES["en"])}'
+                    ELSE '{corpus._rate_threshold_hex(CORPUS_DEFAULT)}' END
+        ),
+        toks2 AS (
+            SELECT d.doc_id, d.doc_id % {PACK_SHARDS} AS shard,
+                   len(string_split(d.text, ' ')) AS n_tokens
+            FROM documents d JOIN samp USING (doc_id)
+        ),
+        o2 AS (
+            SELECT shard, doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                     AS rn
+            FROM toks2
+        ),
+        rec2(shard, rn, doc_id, n_tokens, pack_id, running) AS (
+            SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+            FROM o2 WHERE rn = 1
+            UNION ALL
+            SELECT o2.shard, o2.rn, o2.doc_id, o2.n_tokens,
+                   CASE WHEN rec2.running + o2.n_tokens > {PACK_BUDGET}
+                        THEN rec2.pack_id + 1 ELSE rec2.pack_id END,
+                   CASE WHEN rec2.running + o2.n_tokens > {PACK_BUDGET}
+                        THEN o2.n_tokens
+                        ELSE rec2.running + o2.n_tokens END
+            FROM rec2 JOIN o2
+              ON o2.shard = rec2.shard AND o2.rn = rec2.rn + 1
+        )
+        SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens, pack_id
+        FROM rec2 ORDER BY shard, doc_id
     """,
     "mm02_sample_frames": """
         -- byte slices expressed as substr: valid because the corpus is
