@@ -55,8 +55,14 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     slim = docs.select("doc_id", "n_chars")
+    # broadcast hint: comp is bounded by 2x the pair set (already far
+    # smaller than the corpus) but reaches Spark as a stats-less
+    # createDataFrame/RDD, so without the hint the anti-join below
+    # sort-merges — i.e. shuffles the ENTIRE corpus to subtract a
+    # tiny id set
     dup = slim.join(
-        comp.select(F.col("id").alias("doc_id"), "component"), "doc_id"
+        F.broadcast(comp.select(F.col("id").alias("doc_id"), "component")),
+        "doc_id",
     )
     w = W.partitionBy("component").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
@@ -65,7 +71,9 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         "survivor_id", F.first("doc_id").over(w)
     ).select("doc_id", "component", "survivor_id")
     solo = slim.join(
-        comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+        F.broadcast(comp.select(F.col("id").alias("doc_id"))),
+        "doc_id",
+        "left_anti",
     ).select(
         "doc_id",
         F.col("doc_id").alias("component"),
@@ -141,13 +149,11 @@ def build_training_corpus(
         .filter(F.col("is_survivor"))
         .select("doc_id")
     )
-    long_enough = docs.filter(
+    # the length gate is a plain filter, not a join — it rides the
+    # same scan as the survivor semi-join probe side
+    kept = docs.filter(
         F.size(F.split(F.col("text"), " ")) >= min_tokens
-    ).select("doc_id")
-    kept = (
-        docs.join(surv, "doc_id", "left_semi")
-        .join(long_enough, "doc_id", "left_semi")
-    )
+    ).join(surv, "doc_id", "left_semi")
     sampled = stratified_sample(kept, rates, default_rate, salt).select(
         "doc_id"
     )
