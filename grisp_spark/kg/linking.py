@@ -153,73 +153,135 @@ def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
     Chunks bound worker memory on long texts."""
     eidx, E = evec_pack
     vf = vec_fn or _cached_word_vec
-    # per-batch word interning: word → row in the unique-vector matrix
-    # (−1 = OOV under a file-backed store); typically ≪ total
-    # occurrences, so the float64 conversion runs once per word
-    widx: dict[str, int] = {}
-    wvecs: list[np.ndarray] = []
-    kept_by_mention: list[list[int]] = []
-    cand_mid: list[int] = []
-    cand_eidx: list[int] = []
-    cand_eid: list[int] = []
-    cand_prior: list[float] = []
-    meta: list[tuple[int, int, int, str]] = []  # (row_i, begin, end, surface)
-    for row_i, (tokens, found) in enumerate(zip(tokens_by_row, found_by_row)):
-        for begin, end, surface in found:
-            kept: list[int] = []
-            for w in tokens[:begin] + tokens[end:]:
-                i = widx.get(w, -2)
-                if i == -2:
-                    v = vf(w)
-                    if v is None:
-                        i = -1
-                    else:
-                        i = len(wvecs)
-                        wvecs.append(v)
-                    widx[w] = i
-                if i >= 0:
-                    kept.append(i)
-            kept_by_mention.append(kept)
-            senses = gaz[surface]
-            total = sum(s[1] for s in senses)
-            m = len(meta)
-            for eid, occ, _doc in senses:
-                cand_mid.append(m)
-                cand_eidx.append(eidx[eid])
-                cand_eid.append(eid)
-                cand_prior.append(occ / total if total else 0.0)
-            meta.append((row_i, begin, end, surface))
+    # rows without mentions contribute nothing — factorize only the
+    # tokens of mention-bearing rows, in one C-speed pass (a python
+    # dict.get per word occurrence was ~0.4 s/100k rows)
+    active = [
+        (row_i, tokens, found)
+        for row_i, (tokens, found) in enumerate(zip(tokens_by_row, found_by_row))
+        if found
+    ]
     picked_by_row: list[list] = [[] for _ in tokens_by_row]
-    n_mentions = len(meta)
-    if not n_mentions:
+    if not active:
         return picked_by_row
+    flat_tokens: list[str] = []
+    lengths: list[int] = []
+    for _, tokens, _ in active:
+        flat_tokens.extend(tokens)
+        lengths.append(len(tokens))
+    codes, uniques = pd.factorize(np.asarray(flat_tokens, dtype=object))
+    # per-batch word interning: unique word → row in the vector matrix
+    # (−1 = OOV under a file-backed store); the float64 conversion and
+    # the vf() call run once per DISTINCT word
+    wvecs: list[np.ndarray] = []
+    umap = np.empty(len(uniques), dtype=np.int64)
+    for j, w in enumerate(uniques):
+        v = vf(w)
+        if v is None:
+            umap[j] = -1
+        else:
+            umap[j] = len(wvecs)
+            wvecs.append(v)
+    idx_flat = umap[codes]
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    # per-surface candidate template: (eidx row, entity id, prior)
+    # arrays computed once per distinct surface in the batch — hot
+    # surfaces repeat constantly, and the prior division is identical
+    # whichever mention triggers it
+    surf_tmpl: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    seg_bounds: list[int] = []  # 2 (start,end) segment pairs per mention
+    eidx_parts: list[np.ndarray] = []
+    eid_parts: list[np.ndarray] = []
+    prior_parts: list[np.ndarray] = []
+    cand_counts: list[int] = []
+    meta: list[tuple[int, int, int, str]] = []  # (row_i, begin, end, surface)
+    for (row_i, tokens, found), o0 in zip(active, offsets[:-1]):
+        o1 = o0 + len(tokens)
+        for begin, end, surface in found:
+            seg_bounds.extend((o0, o0 + begin, o0 + end, o1))
+            tmpl = surf_tmpl.get(surface)
+            if tmpl is None:
+                senses = gaz[surface]
+                total = sum(s[1] for s in senses)
+                tmpl = (
+                    np.asarray([eidx[s[0]] for s in senses], dtype=np.int64),
+                    np.asarray([s[0] for s in senses], dtype=np.int64),
+                    np.asarray(
+                        [s[1] / total if total else 0.0 for s in senses],
+                        dtype=np.float64,
+                    ),
+                )
+                surf_tmpl[surface] = tmpl
+            eidx_parts.append(tmpl[0])
+            eid_parts.append(tmpl[1])
+            prior_parts.append(tmpl[2])
+            cand_counts.append(len(tmpl[1]))
+            meta.append((row_i, begin, end, surface))
+    n_mentions = len(meta)
+    # vectorized context assembly: every mention's context is two
+    # slices of its row's interned-token array ([row start, mention
+    # begin) and [mention end, row end)); expand all segments to flat
+    # positions with repeat/arange arithmetic, gather, drop OOV (−1),
+    # and keep per-mention valid counts — zero per-mention numpy calls
+    # (both a python-list and a tiny-ndarray-per-mention variant of
+    # this loop measured ~2 s/100k rows in small-op overhead)
+    sb = np.asarray(seg_bounds, dtype=np.int64).reshape(-1, 2)
+    seg_lens = sb[:, 1] - sb[:, 0]
+    seg_cum = np.cumsum(seg_lens)
+    total_ctx = int(seg_cum[-1]) if seg_lens.size else 0
+    if total_ctx:
+        flat_pos = np.repeat(
+            sb[:, 0] - (seg_cum - seg_lens), seg_lens
+        ) + np.arange(total_ctx, dtype=np.int64)
+        ctx_idx = idx_flat[flat_pos]
+        valid = ctx_idx >= 0
+        ctx_valid = ctx_idx[valid]
+        vcum = np.concatenate(([0], np.cumsum(valid, dtype=np.int64)))
+        # mention m covers segments 2m, 2m+1 → context positions
+        # [seg_cum[2m]−len[2m], seg_cum[2m+1])
+        ment_end_pos = seg_cum[1::2]
+        ment_start_pos = ment_end_pos - seg_lens[1::2] - seg_lens[0::2]
+        ctx_counts = vcum[ment_end_pos] - vcum[ment_start_pos]
+        ctx_starts = vcum[ment_start_pos]
+    else:
+        ctx_valid = np.zeros(0, dtype=np.int64)
+        ctx_counts = np.zeros(n_mentions, dtype=np.int64)
+        ctx_starts = np.zeros(n_mentions, dtype=np.int64)
     M = (
         np.stack(wvecs, dtype=np.float64)
         if wvecs
         else np.zeros((0, spec.EMBED_DIM), dtype=np.float64)
     )
-    mid_a = np.asarray(cand_mid, dtype=np.int64)
-    eid_a = np.asarray(cand_eid, dtype=np.int64)
-    eidx_a = np.asarray(cand_eidx, dtype=np.int64)
-    prior_a = np.asarray(cand_prior, dtype=np.float64)
+    mid_a = np.repeat(
+        np.arange(n_mentions, dtype=np.int64),
+        np.asarray(cand_counts, dtype=np.int64),
+    )
+    eid_a = np.concatenate(eid_parts)
+    eidx_a = np.concatenate(eidx_parts)
+    prior_a = np.concatenate(prior_parts)
+    vstarts = np.concatenate(([0], np.cumsum(ctx_counts)))
     start = 0
     while start < n_mentions:
-        end, rows = start, 0
-        while end < n_mentions and (
-            rows == 0 or rows + len(kept_by_mention[end]) <= MAX_CTX_ROWS_PER_CHUNK
-        ):
-            rows += len(kept_by_mention[end])
-            end += 1
-        chunk = kept_by_mention[start:end]
-        counts_c = np.asarray([len(k) for k in chunk], dtype=np.int64)
+        # maximal chunk whose valid-context rows fit the memory bound
+        # (an oversized single mention still gets its own chunk)
+        end = max(
+            start + 1,
+            int(
+                np.searchsorted(
+                    vstarts,
+                    vstarts[start] + MAX_CTX_ROWS_PER_CHUNK,
+                    side="right",
+                )
+            )
+            - 1,
+        )
+        counts_c = ctx_counts[start:end]
+        rows = int(vstarts[end] - vstarts[start])
         cents = np.zeros((end - start, spec.EMBED_DIM), dtype=np.float32)
         mask = counts_c > 0
         if rows:
-            flat = np.asarray(
-                [i for k in chunk for i in k], dtype=np.int64
-            )
-            W = M[flat]
-            starts_c = np.concatenate(([0], np.cumsum(counts_c)[:-1]))
+            W = M[ctx_valid[vstarts[start] : vstarts[end]]]
+            starts_c = vstarts[start:end] - vstarts[start]
             cents[mask] = spec.centroid_batch(W, starts_c[mask], counts_c[mask])
         # candidates of this mention chunk (cand_mid is nondecreasing)
         c0 = int(np.searchsorted(mid_a, start, side="left"))
