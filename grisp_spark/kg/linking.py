@@ -138,7 +138,9 @@ def _evec_pack(evecs: dict, cache_key: int):
 MAX_CTX_ROWS_PER_CHUNK = 2_000_000
 
 
-def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
+def _pick_batch_centroid(
+    tokens_by_row, found_by_row, gaz, evec_pack, vec_fn, interned=None
+):
     """Centroid-mode scoring for a WHOLE Arrow batch in a few numpy
     ops instead of 3-4 small numpy calls per mention: intern the
     batch's distinct context words into one small float64 matrix,
@@ -153,9 +155,6 @@ def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
     Chunks bound worker memory on long texts."""
     eidx, E = evec_pack
     vf = vec_fn or _cached_word_vec
-    # rows without mentions contribute nothing — factorize only the
-    # tokens of mention-bearing rows, in one C-speed pass (a python
-    # dict.get per word occurrence was ~0.4 s/100k rows)
     active = [
         (row_i, tokens, found)
         for row_i, (tokens, found) in enumerate(zip(tokens_by_row, found_by_row))
@@ -164,12 +163,12 @@ def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
     picked_by_row: list[list] = [[] for _ in tokens_by_row]
     if not active:
         return picked_by_row
-    flat_tokens: list[str] = []
-    lengths: list[int] = []
-    for _, tokens, _ in active:
-        flat_tokens.extend(tokens)
-        lengths.append(len(tokens))
-    codes, uniques = pd.factorize(np.asarray(flat_tokens, dtype=object))
+    # one C-speed factorize over the batch (shared with detection when
+    # the caller passes it in — a python dict.get per word occurrence
+    # was ~0.4 s/100k rows)
+    if interned is None:
+        interned = _intern_tokens(tokens_by_row)
+    codes, uniques, offsets = interned
     # per-batch word interning: unique word → row in the vector matrix
     # (−1 = OOV under a file-backed store); the float64 conversion and
     # the vf() call run once per DISTINCT word
@@ -183,7 +182,6 @@ def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
             umap[j] = len(wvecs)
             wvecs.append(v)
     idx_flat = umap[codes]
-    offsets = np.concatenate(([0], np.cumsum(lengths)))
     # per-surface candidate template: (eidx row, entity id, prior)
     # arrays computed once per distinct surface in the batch — hot
     # surfaces repeat constantly, and the prior division is identical
@@ -195,8 +193,9 @@ def _pick_batch_centroid(tokens_by_row, found_by_row, gaz, evec_pack, vec_fn):
     prior_parts: list[np.ndarray] = []
     cand_counts: list[int] = []
     meta: list[tuple[int, int, int, str]] = []  # (row_i, begin, end, surface)
-    for (row_i, tokens, found), o0 in zip(active, offsets[:-1]):
-        o1 = o0 + len(tokens)
+    for row_i, tokens, found in active:
+        o0 = offsets[row_i]
+        o1 = offsets[row_i + 1]
         for begin, end, surface in found:
             seg_bounds.extend((o0, o0 + begin, o0 + end, o1))
             tmpl = surf_tmpl.get(surface)
@@ -322,14 +321,71 @@ def _pick_rows_fallback(
 
 
 def _pick_all(
-    tokens_by_row, found_by_row, gaz, evecs, score_mode, vec_fn, evec_key
+    tokens_by_row, found_by_row, gaz, evecs, score_mode, vec_fn, evec_key,
+    interned=None,
 ):
     if score_mode == "centroid":
         return _pick_batch_centroid(
-            tokens_by_row, found_by_row, gaz, _evec_pack(evecs, evec_key), vec_fn
+            tokens_by_row, found_by_row, gaz, _evec_pack(evecs, evec_key),
+            vec_fn, interned,
         )
     return _pick_rows_fallback(
         tokens_by_row, found_by_row, gaz, evecs, score_mode, vec_fn
+    )
+
+
+def _intern_tokens(tokens_by_row):
+    """One C-speed factorize over the batch's tokens: (codes, uniques,
+    row offsets). Shared by detection (per-distinct-token prune
+    lengths) and the centroid scorer (per-distinct-word vectors)."""
+    flat: list[str] = []
+    lengths = np.empty(len(tokens_by_row), dtype=np.int64)
+    for i, t in enumerate(tokens_by_row):
+        flat.extend(t)
+        lengths[i] = len(t)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    return codes, uniques, offsets
+
+
+def _detect_all(tokens_by_row, gaz, idx, interned):
+    """Batch detection: the first-token prune value is computed once
+    per DISTINCT token (factorize + gather) instead of one .lower()
+    + dict probe per occurrence; rows whose positions are all pruned
+    skip the scan loop entirely. Probe semantics live in
+    spec.detect_mentions_pruned (identical to spec.detect_mentions)."""
+    codes, uniques, offsets = interned
+    if len(uniques):
+        maxln_u = np.asarray(
+            [idx.get(u.lower(), 0) for u in uniques], dtype=np.int64
+        )
+        maxln_flat = maxln_u[codes]
+    else:
+        maxln_flat = np.zeros(0, dtype=np.int64)
+    hit_cum = np.concatenate(
+        ([0], np.cumsum(maxln_flat > 0, dtype=np.int64))
+    )
+    found_by_row: list[list] = []
+    for r, tokens in enumerate(tokens_by_row):
+        o0, o1 = offsets[r], offsets[r + 1]
+        if hit_cum[o1] == hit_cum[o0]:
+            found_by_row.append([])
+        else:
+            found_by_row.append(
+                spec.detect_mentions_pruned(tokens, gaz, maxln_flat[o0:o1])
+            )
+    return found_by_row
+
+
+def _link_rows(rows, gaz, evecs, idx, score_mode, vec_fn, evec_key):
+    """Shared kernel prelude: tokenize → batch-interned detection →
+    batch scoring. Returns picked_by_row."""
+    tokens_by_row = [spec.tokenize(r.text or "") for r in rows]
+    interned = _intern_tokens(tokens_by_row)
+    found_by_row = _detect_all(tokens_by_row, gaz, idx, interned)
+    return _pick_all(
+        tokens_by_row, found_by_row, gaz, evecs, score_mode, vec_fn,
+        evec_key, interned,
     )
 
 
@@ -414,14 +470,8 @@ def link_mentions(
         idx = _first_token_index(gaz, cache_key)
         for pdf in batches:
             rows = list(pdf.itertuples(index=False))
-            tokens_by_row = [spec.tokenize(r.text or "") for r in rows]
-            found_by_row = [
-                spec.detect_mentions(t, gaz, idx) if t else []
-                for t in tokens_by_row
-            ]
-            picked_by_row = _pick_all(
-                tokens_by_row, found_by_row, gaz, evecs, score_mode, vec_fn,
-                evec_key,
+            picked_by_row = _link_rows(
+                rows, gaz, evecs, idx, score_mode, vec_fn, evec_key
             )
             out: dict[str, list] = {
                 "conv_id": [], "turn_idx": [], "role": [], "tool": [],
@@ -493,14 +543,8 @@ def link_and_extract(
         prev_set: set[int] = set()
         for pdf in batches:
             rows = list(pdf.itertuples(index=False))
-            tokens_by_row = [spec.tokenize(r.text or "") for r in rows]
-            found_by_row = [
-                spec.detect_mentions(t, gaz, idx) if t else []
-                for t in tokens_by_row
-            ]
-            picked_by_row = _pick_all(
-                tokens_by_row, found_by_row, gaz, evecs, score_mode, vec_fn,
-                evec_key,
+            picked_by_row = _link_rows(
+                rows, gaz, evecs, idx, score_mode, vec_fn, evec_key
             )
             out: dict[str, list] = {
                 "conv_id": [], "turn_idx": [], "subj": [], "pred": [], "obj": [],

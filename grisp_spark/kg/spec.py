@@ -136,6 +136,43 @@ def detect_mentions(
     return out
 
 
+def detect_mentions_pruned(
+    tokens: list[str],
+    gazetteer: dict,
+    maxln_by_pos,
+) -> list[tuple[int, int, str]]:
+    """detect_mentions with the first-token prune precomputed: element
+    i of ``maxln_by_pos`` must equal
+    ``first_token_index.get(tokens[i].lower(), 0)``. The batch kernel
+    computes that ONCE PER DISTINCT TOKEN (factorize + gather) instead
+    of lowering and probing per occurrence; results are identical by
+    construction (property-tested against detect_mentions)."""
+    out: list[tuple[int, int, str]] = []
+    n = len(tokens)
+    i = 0
+    while i < n:
+        max_ln = maxln_by_pos[i]
+        if max_ln == 0:
+            i += 1
+            continue
+        matched = False
+        for ln in range(min(max_ln, MAX_LABEL_TOKENS, n - i), 0, -1):
+            surface = ngram_key(" ".join(tokens[i : i + ln]))
+            if len(surface) >= MAX_LABEL_CHARS:
+                continue
+            if surface in gazetteer:
+                # F6: skip single-char ngram preceded by apostrophe
+                if ln == 1 and len(tokens[i]) == 1 and i > 0 and tokens[i - 1].endswith("'"):
+                    continue
+                out.append((i, i + ln, surface))
+                i += ln
+                matched = True
+                break
+        if not matched:
+            i += 1
+    return out
+
+
 def word_vec(word: str) -> np.ndarray:
     """Deterministic pseudo-embedding: 32-dim unit vector seeded from
     md5(word). A stand-in for word2vec with the exact consumption shape

@@ -100,3 +100,25 @@ def test_detect_matches_naive(tc):
     idx = spec.build_first_token_index(gaz)
     assert spec.detect_mentions(tokens, gaz, idx) == naive_detect(tokens, gaz)
     assert spec.detect_mentions(tokens, gaz) == naive_detect(tokens, gaz)
+
+
+@settings(max_examples=300, deadline=None)
+@given(case())
+def test_detect_pruned_matches_detect(tc):
+    """The batch kernel's precomputed-prune variant ≡ detect_mentions
+    (and the batch wrapper in linking ≡ the per-row loop)."""
+    tokens, gaz = tc
+    idx = spec.build_first_token_index(gaz)
+    maxln = np.asarray(
+        [idx.get(t.lower(), 0) for t in tokens], dtype=np.int64
+    )
+    assert spec.detect_mentions_pruned(tokens, gaz, maxln) == spec.detect_mentions(
+        tokens, gaz, idx
+    )
+    from grisp_spark.kg import linking
+
+    rows = [tokens, [], tokens[: len(tokens) // 2]]
+    interned = linking._intern_tokens(rows)
+    assert linking._detect_all(rows, gaz, idx, interned) == [
+        spec.detect_mentions(r, gaz, idx) for r in rows
+    ]
