@@ -595,9 +595,13 @@ def detect_only(conv: DataFrame, gaz_bc, n_partitions: int | None = None) -> Dat
         idx = _first_token_index(gaz, cache_key)
         for pdf in batches:
             rows = {"conv_id": [], "turn_idx": [], "begin": [], "end": [], "surface": []}
-            for row in pdf.itertuples(index=False):
-                tokens = spec.tokenize(row.text or "")
-                for begin, end, surface in spec.detect_mentions(tokens, gaz, idx):
+            row_list = list(pdf.itertuples(index=False))
+            tokens_by_row = [spec.tokenize(r.text or "") for r in row_list]
+            found_by_row = _detect_all(
+                tokens_by_row, gaz, idx, _intern_tokens(tokens_by_row)
+            )
+            for row, found in zip(row_list, found_by_row):
+                for begin, end, surface in found:
                     rows["conv_id"].append(row.conv_id)
                     rows["turn_idx"].append(row.turn_idx)
                     rows["begin"].append(begin)
