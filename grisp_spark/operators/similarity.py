@@ -234,17 +234,21 @@ def topk_ivf(
     k: int = 5,
     dim: int = 64,
     n_cells: int = 4,
+    probe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its
-    nearest-centroid cell, then search only the query's cell
-    (probe=1). Centroids here are the first ``n_cells`` corpus vectors
+    nearest-centroid cell, then search the query's ``probe`` nearest
+    cells. Centroids here are the first ``n_cells`` corpus vectors
     (deterministic stand-in for k-means — the index structure, cell
     assignment, and probe-limited search are the real thing).
 
     Scale shape: assignment is a broadcast cross-join against
     ``n_cells`` rows (no corpus shuffle) + one window per vec_id;
-    search is an equi-join on cell — candidates shrink ~n/n_cells,
-    and multi-probe raises recall by unioning more cells."""
+    search is an equi-join on cell — candidates shrink
+    ~n·probe/n_cells. Each corpus vector lives in exactly one cell
+    and a query's probed cells are distinct, so no pair dedup is
+    needed (the recall ladder vs exact search is pinned in
+    tests/test_similarity_recall.py)."""
     cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("c_emb"),
@@ -259,16 +263,20 @@ def topk_ivf(
         / (F.col("nrm") * F.col("c_norm")),
     )
     w_assign = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
-    assigned = (
-        scored_cells.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("cid").alias("cell"))
+    ranked_cells = scored_cells.withColumn("rn", F.row_number().over(w_assign))
+    assigned = ranked_cells.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
     )
-    q = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_norm"),
-        "cell",
+    q = (
+        ranked_cells.filter(
+            (F.col("vec_id") < n_queries) & (F.col("rn") <= probe)
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_norm"),
+            F.col("cid").alias("cell"),
+        )
     )
     c = assigned.select(
         F.col("vec_id").alias("c_id"),

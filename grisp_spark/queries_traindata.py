@@ -147,6 +147,15 @@ def ss03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ss04_ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with probe=2: queries search their two nearest cells —
+    the standard recall knob over ss03's probe=1."""
+    return similarity.topk_ivf(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5, dim=64,
+        probe=2,
+    )
+
+
 def ta01_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(load_table(spark, sf_dir, "documents"))
 
@@ -447,6 +456,40 @@ ORACLES: dict[str, str] = {
             FROM assigned q JOIN assigned c
               ON q.cell = c.cell AND q.vec_id <> c.vec_id
             WHERE q.vec_id < 5
+        ),
+        ranked AS (
+            SELECT q_id, c_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id ASC) AS rank
+            FROM scored
+        )
+        SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    "ss04_ivf_ann_multiprobe": f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS c_emb
+            FROM embeddings WHERE vec_id < 4
+        ),
+        ranked_cells AS (
+            SELECT e.vec_id, e.embedding, c.cid AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'c.c_emb')} DESC,
+                                c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM ranked_cells WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id, embedding, cell FROM ranked_cells
+            WHERE rn <= 2 AND vec_id < 5
+        ),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   {_cos('q.embedding', 'c.embedding')} AS cos
+            FROM probes q JOIN assigned c
+              ON q.cell = c.cell AND q.vec_id <> c.vec_id
         ),
         ranked AS (
             SELECT q_id, c_id, cos,

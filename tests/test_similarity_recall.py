@@ -42,6 +42,25 @@ def test_lsh_recall_ladder(emb):
     assert len(multi) >= len(single)
 
 
+def test_ivf_multiprobe_recall_ladder(spark, sf_dir):
+    """probe=2 must dominate probe=1 against exact top-k: every
+    probe-1 hit is also probed at probe=2 (cells are nested), and the
+    extra cell can only add true neighbors."""
+
+    def fresh():
+        return load_table(spark, sf_dir, "embeddings")
+
+    def hits(df):
+        return {(r.q_id, r.c_id) for r in df.select("q_id", "c_id").collect()}
+
+    exact = hits(similarity.topk_bruteforce(fresh(), n_queries=5, k=5))
+    p1 = hits(similarity.topk_ivf(fresh(), n_queries=5, k=5, probe=1))
+    p2 = hits(similarity.topk_ivf(fresh(), n_queries=5, k=5, probe=2))
+    assert len(p2 & exact) >= len(p1 & exact)
+    # and multiprobe keeps the candidate discipline: k results per query
+    assert len(p2) == len(p1) == len(exact)
+
+
 def test_multi_table_recall_on_true_neardups(spark):
     """True near-dups (cos ≥ 0.9, θ ≤ 26°, p ≈ 0.86 per sign bit) must
     be found with high probability: expected recall 1−(1−0.86⁶)⁴ ≈ 0.87
