@@ -47,6 +47,20 @@ def windowed_turn_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(stream: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on text content: the first turn with a
+    given md5(text) within the watermark horizon passes, later copies
+    are dropped and — unlike a plain dropDuplicates — the dedup state
+    for hashes older than the watermark is FREED, which is what makes
+    this runnable forever on an unbounded stream. The batch analogue
+    is operators/dedup.exact_dedup's hash-groupBy."""
+    return (
+        stream.withColumn("text_hash", F.md5(F.coalesce("text", F.lit(""))))
+        .withWatermark("ts", within)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def stream_linked_mentions(
     spark: SparkSession, in_dir: str, out_dir: str, gaz_bc, evec_bc
 ):

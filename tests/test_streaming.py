@@ -111,3 +111,42 @@ def test_windowed_counts(spark):
         "SELECT sum(n_turns) AS n FROM turn_counts"
     ).collect()[0].n
     assert got == conv.count()
+
+
+def test_dedup_stream_drops_in_horizon_copies(spark):
+    """Streaming exact dedup: duplicate text inside the watermark
+    horizon is dropped; the first copy survives. State eviction past
+    the horizon is Spark-managed (dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    in_dir = os.path.join(DATA, "dedup_incoming")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    rows = [
+        ("c1", 0, "user", "same text", None, base),
+        ("c1", 1, "user", "same text", None, base + dt.timedelta(minutes=1)),
+        ("c2", 0, "user", "other text", None, base + dt.timedelta(minutes=2)),
+        ("c2", 1, "user", "same text", None, base + dt.timedelta(minutes=3)),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    out = ingest.dedup_stream(ingest.stream_conversations(spark, in_dir))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT text, count(*) AS n FROM dedup_out GROUP BY text")
+    counts = {r.text: r.n for r in got.collect()}
+    assert counts == {"same text": 1, "other text": 1}
