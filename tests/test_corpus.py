@@ -110,3 +110,47 @@ def test_sample_pushdown_no_shuffle(spark, sf_dir):
     # exactly one exchange: the final global sort; no aggregate/join
     assert plan.count("Exchange") <= 2  # rangepartitioning for sort only
     assert "Join" not in plan
+
+
+def test_pack_kernel_invariants_hypothesis():
+    """Property: packs never exceed the budget unless a single
+    oversized doc forms the pack alone; pack ids are dense and
+    nondecreasing in doc order. Pure-pandas kernel, no Spark."""
+    from hypothesis import given, settings, strategies as st
+    import pandas as pd
+
+    from grisp_spark.operators.corpus import _pack_one_shard
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=30), max_size=40),
+        st.integers(min_value=1, max_value=50),
+    )
+    def check(tokens, budget):
+        pdf = pd.DataFrame(
+            {
+                "shard": [0] * len(tokens),
+                "doc_id": range(len(tokens)),
+                "n_tokens": tokens,
+            }
+        )
+        out = _pack_one_shard(pdf, budget)
+        if not len(out):
+            return
+        packs = out.groupby("pack_id")["n_tokens"].agg(["sum", "count"])
+        for _, row in packs.iterrows():
+            assert row["sum"] <= budget or row["count"] == 1
+        ids = out.sort_values("doc_id")["pack_id"].tolist()
+        assert ids == sorted(ids)
+        assert set(ids) == set(range(max(ids) + 1))
+        # greedy: a new pack opens only because the previous one could
+        # not fit the next doc
+        sums = packs["sum"].tolist()
+        firsts = out.sort_values("doc_id").groupby("pack_id").head(1)
+        for pid, first_tok in zip(
+            firsts["pack_id"].tolist(), firsts["n_tokens"].tolist()
+        ):
+            if pid > 0:
+                assert sums[pid - 1] + first_tok > budget
+
+    check()
