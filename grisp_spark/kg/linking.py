@@ -171,14 +171,26 @@ def _pick_batch_centroid(
     codes, uniques, offsets = interned
     # per-batch word interning: unique word → row in the vector matrix
     # (−1 = OOV under a file-backed store); the float64 conversion and
-    # the vf() call run once per DISTINCT word
+    # the vf() call run once per DISTINCT word — and only for words
+    # reachable from mention-bearing rows, so a sparse-mention batch
+    # doesn't vectorize its whole vocabulary (matters for file-backed
+    # stores with no process-wide cache)
+    act_rows = np.asarray([a[0] for a in active], dtype=np.int64)
+    a_start = offsets[act_rows]
+    a_len = offsets[act_rows + 1] - a_start
+    a_total = int(a_len.sum())
+    if a_total:
+        a_pos = np.repeat(
+            a_start - (np.cumsum(a_len) - a_len), a_len
+        ) + np.arange(a_total, dtype=np.int64)
+        used = np.unique(codes[a_pos])
+    else:
+        used = np.zeros(0, dtype=np.int64)
     wvecs: list[np.ndarray] = []
-    umap = np.empty(len(uniques), dtype=np.int64)
-    for j, w in enumerate(uniques):
-        v = vf(w)
-        if v is None:
-            umap[j] = -1
-        else:
+    umap = np.full(len(uniques), -1, dtype=np.int64)
+    for j in used:
+        v = vf(uniques[j])
+        if v is not None:
             umap[j] = len(wvecs)
             wvecs.append(v)
     idx_flat = umap[codes]
@@ -241,11 +253,9 @@ def _pick_batch_centroid(
         ment_end_pos = seg_cum[1::2]
         ment_start_pos = ment_end_pos - seg_lens[1::2] - seg_lens[0::2]
         ctx_counts = vcum[ment_end_pos] - vcum[ment_start_pos]
-        ctx_starts = vcum[ment_start_pos]
     else:
         ctx_valid = np.zeros(0, dtype=np.int64)
         ctx_counts = np.zeros(n_mentions, dtype=np.int64)
-        ctx_starts = np.zeros(n_mentions, dtype=np.int64)
     M = (
         np.stack(wvecs, dtype=np.float64)
         if wvecs

@@ -106,34 +106,15 @@ def detect_mentions(
     with the non-overlapping longest-match region rule of
     util/Util.java:39-76. The first-token index is a pure pruning
     structure — results are identical with or without it.
-    """
-    out: list[tuple[int, int, str]] = []
-    n = len(tokens)
-    i = 0
-    while i < n:
-        if first_token_index is not None:
-            max_ln = first_token_index.get(tokens[i].lower(), 0)
-            if max_ln == 0:
-                i += 1
-                continue
-        else:
-            max_ln = MAX_LABEL_TOKENS
-        matched = False
-        for ln in range(min(max_ln, MAX_LABEL_TOKENS, n - i), 0, -1):
-            surface = ngram_key(" ".join(tokens[i : i + ln]))
-            if len(surface) >= MAX_LABEL_CHARS:
-                continue
-            if surface in gazetteer:
-                # F6: skip single-char ngram preceded by apostrophe
-                if ln == 1 and len(tokens[i]) == 1 and i > 0 and tokens[i - 1].endswith("'"):
-                    continue
-                out.append((i, i + ln, surface))
-                i += ln
-                matched = True
-                break
-        if not matched:
-            i += 1
-    return out
+
+    Delegates to detect_mentions_pruned so the scan-loop semantics
+    (longest match, char cap, F6 apostrophe rule, greedy advance)
+    exist in exactly ONE place."""
+    if first_token_index is None:
+        maxln = [MAX_LABEL_TOKENS] * len(tokens)
+    else:
+        maxln = [first_token_index.get(t.lower(), 0) for t in tokens]
+    return detect_mentions_pruned(tokens, gazetteer, maxln)
 
 
 def detect_mentions_pruned(

@@ -35,10 +35,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from grisp_spark.operators.closure import connected_components
+from grisp_spark.operators.closure import DRIVER_CC_THRESHOLD, connected_components
 
 
-def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    broadcast_threshold: int = DRIVER_CC_THRESHOLD,
+) -> DataFrame:
     """Collapse near-duplicate clusters to one survivor each.
 
     ``pairs`` is any (doc_a, doc_b) near-dup edge set (exact, MinHash,
@@ -51,27 +55,41 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     document. The reference's analogue is redirect collapse onto a
     canonical page (RedirectStep.java:60-171) — same
     edges → components → canonical-representative shape."""
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    # the pair frame is typically the query's heaviest stage (e.g. the
+    # n-gram Jaccard pipeline) and connected_components runs TWO
+    # actions on it (size probe + collect/iterate) — persist so it
+    # computes once; safe to unpersist right after because both CC
+    # paths materialize their result before returning
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).persist()
+    try:
+        small = edges.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+        comp = connected_components(edges)
+    finally:
+        edges.unpersist()
     slim = docs.select("doc_id", "n_chars")
-    # broadcast hint: comp is bounded by 2x the pair set (already far
-    # smaller than the corpus) but reaches Spark as a stats-less
-    # createDataFrame/RDD, so without the hint the anti-join below
-    # sort-merges — i.e. shuffles the ENTIRE corpus to subtract a
-    # tiny id set
-    dup = slim.join(
-        F.broadcast(comp.select(F.col("id").alias("doc_id"), "component")),
-        "doc_id",
-    )
+    # broadcast hint, but only in the driver-union-find regime: comp
+    # reaches Spark as a stats-less createDataFrame, so without the
+    # hint the anti-join below sort-merges — shuffling the ENTIRE
+    # corpus to subtract a tiny id set. Above the threshold the
+    # component map may no longer fit the driver (that is exactly why
+    # the distributed CC path exists), so the hint must not be forced.
+    comp_keyed = comp.select(F.col("id").alias("doc_id"), "component")
+    if small:
+        comp_keyed = F.broadcast(comp_keyed)
+    dup = slim.join(comp_keyed, "doc_id")
     w = W.partitionBy("component").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
     dup = dup.withColumn(
         "survivor_id", F.first("doc_id").over(w)
     ).select("doc_id", "component", "survivor_id")
+    comp_ids = comp.select(F.col("id").alias("doc_id"))
+    if small:
+        comp_ids = F.broadcast(comp_ids)
     solo = slim.join(
-        F.broadcast(comp.select(F.col("id").alias("doc_id"))),
+        comp_ids,
         "doc_id",
         "left_anti",
     ).select(
@@ -89,10 +107,16 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 def _rate_threshold_hex(rate: float) -> str:
     """First-8-hex-chars threshold for a keep rate: a row is kept iff
     substr(md5, 1, 8) < this string. Hex strings of equal length
-    compare like the integers they encode, in every engine."""
+    compare like the integers they encode, in every engine. rate=1.0
+    returns 'g' — lexicographically above every hex string — so a
+    full-keep stratum really keeps EVERYTHING (clamping to 'ffffffff'
+    would drop a doc whose bucket is exactly that, p=2^-32 per doc:
+    real at billions of rows)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x")
 
 
 def stratified_sample(
