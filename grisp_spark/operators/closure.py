@@ -54,6 +54,42 @@ def resolve_chains(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     return cur.select("src", F.col("dst").alias("terminal"))
 
 
+def bfs_depth(
+    edges: DataFrame, roots: DataFrame, max_rounds: int = 32
+) -> DataFrame:
+    """Min-hop depth of every reachable node from a root set, by
+    level-synchronous BFS over directed (src → dst) edges — the
+    analogue of the reference's page/category depth summary
+    (PageDepthSummary semantics: distance from the root category).
+
+    ``roots`` is an (id) frame at depth 0. Each round expands the
+    frontier one hop (edge join), drops already-seen nodes
+    (anti-join against the accumulated depth table), and stops when
+    the frontier empties; the emptiness probe is the same count that
+    materializes the round's checkpoint, so a round costs one job.
+    Level order guarantees first arrival IS min depth. Raises if the
+    frontier is still non-empty after ``max_rounds`` — a silent cap
+    would mislabel deeper nodes as unreachable."""
+    depth = roots.select("id", F.lit(0).alias("depth")).localCheckpoint(
+        eager=True
+    )
+    frontier = depth
+    for rnd in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"), F.lit(rnd).alias("depth"))
+            .distinct()
+            .join(depth.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            return depth
+        depth = depth.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    raise RuntimeError(f"bfs_depth did not converge in {max_rounds} rounds")
+
+
 DRIVER_CC_THRESHOLD = 2_000_000
 
 

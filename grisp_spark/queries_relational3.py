@@ -347,6 +347,35 @@ def q31_disambig_senses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xml_src.parse_disambig_links(pages).orderBy("page_id", "sense_title")
 
 
+def q40_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category/page depth analogue (the reference's PageDepthSummary:
+    distance from the root category) as level-synchronous BFS
+    (operators/closure.bfs_depth) over a derived per-nation supplier
+    tree: rank r (by suppkey within nation) parents to rank r//2, so
+    depth = floor(log2 r) and the BFS converges in O(log n) rounds at
+    every SF."""
+    from grisp_spark.operators.closure import bfs_depth
+
+    sup = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_suppkey")
+    ranked = sup.select(
+        "s_nationkey",
+        F.col("s_suppkey").alias("id"),
+        F.row_number().over(w).alias("r"),
+    )
+    parents = ranked.select(
+        "s_nationkey", F.col("id").alias("src"), F.col("r").alias("pr")
+    )
+    edges = (
+        ranked.filter(F.col("r") > 1)
+        .withColumn("pr", (F.col("r") / 2).cast("int"))
+        .join(parents, ["s_nationkey", "pr"])
+        .select("src", F.col("id").alias("dst"))
+    )
+    roots = ranked.filter(F.col("r") == 1).select("id")
+    return bfs_depth(edges, roots).orderBy("id")
+
+
 ORACLES: dict[str, str] = {
     "q22_running_window": """
         SELECT user_id, event_id,
@@ -461,6 +490,26 @@ ORACLES: dict[str, str] = {
                quantile_cont(value, 0.5) AS p50,
                quantile_cont(value, 0.95) AS p95
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q40_tree_depth": """
+        WITH RECURSIVE ranked AS (
+            SELECT s_nationkey, s_suppkey AS id,
+                   row_number() OVER (PARTITION BY s_nationkey
+                                      ORDER BY s_suppkey) AS r
+            FROM supplier
+        ),
+        e AS (
+            SELECT p.id AS src, c.id AS dst
+            FROM ranked c JOIN ranked p
+              ON c.s_nationkey = p.s_nationkey
+             AND p.r = c.r // 2 AND c.r > 1
+        ),
+        walk(id, depth) AS (
+            SELECT id, 0 FROM ranked WHERE r = 1
+            UNION ALL
+            SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.id
+        )
+        SELECT id, CAST(depth AS INTEGER) AS depth FROM walk ORDER BY id
     """,
 }
 
