@@ -67,14 +67,18 @@ def bfs_depth(
     (anti-join against the accumulated depth table), and stops when
     the frontier empties; the emptiness probe is the same count that
     materializes the round's checkpoint, so a round costs one job.
-    Level order guarantees first arrival IS min depth. Raises if the
-    frontier is still non-empty after ``max_rounds`` — a silent cap
-    would mislabel deeper nodes as unreachable."""
+    Level order guarantees first arrival IS min depth. Raises only if
+    the frontier can STILL expand after ``max_rounds`` rounds (a graph
+    whose eccentricity equals max_rounds completes; a silent cap would
+    mislabel deeper nodes as unreachable)."""
+    # the edge plan is re-joined every round — materialize it once or
+    # each round re-runs the caller's whole derivation pipeline
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     depth = roots.select("id", F.lit(0).alias("depth")).localCheckpoint(
         eager=True
     )
     frontier = depth
-    for rnd in range(1, max_rounds + 1):
+    for rnd in range(1, max_rounds + 2):
         nxt = (
             frontier.join(edges, frontier.id == edges.src)
             .select(F.col("dst").alias("id"), F.lit(rnd).alias("depth"))
@@ -85,9 +89,13 @@ def bfs_depth(
         n_new = nxt.count()
         if n_new == 0:
             return depth
+        if rnd > max_rounds:
+            raise RuntimeError(
+                f"bfs_depth did not converge in {max_rounds} rounds"
+            )
         depth = depth.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
-    raise RuntimeError(f"bfs_depth did not converge in {max_rounds} rounds")
+    raise AssertionError("unreachable")
 
 
 DRIVER_CC_THRESHOLD = 2_000_000

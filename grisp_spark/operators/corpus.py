@@ -64,8 +64,12 @@ def dedup_survivors(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).persist()
     try:
+        # this probe and connected_components' internal one are the
+        # same count on the persisted frame (cheap); forwarding the
+        # threshold keeps the broadcast decision in lockstep with the
+        # driver-vs-distributed CC path choice
         small = edges.limit(broadcast_threshold + 1).count() <= broadcast_threshold
-        comp = connected_components(edges)
+        comp = connected_components(edges, driver_threshold=broadcast_threshold)
     finally:
         edges.unpersist()
     slim = docs.select("doc_id", "n_chars")

@@ -114,3 +114,15 @@ def test_bfs_depth_min_hop_and_bounds(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         bfs_depth(chain, spark.createDataFrame([(0,)], "id long"), max_rounds=3)
+    # eccentricity EXACTLY max_rounds completes (the raise fires only
+    # when the frontier can still expand afterwards)
+    short = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], "src long, dst long"
+    )
+    got3 = {
+        r.id: r.depth
+        for r in bfs_depth(
+            short, spark.createDataFrame([(0,)], "id long"), max_rounds=3
+        ).collect()
+    }
+    assert got3 == {0: 0, 1: 1, 2: 2, 3: 3}
