@@ -49,3 +49,12 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_bench_headline_names_exist():
+    """bench.py's HEADLINE list must reference registered queries —
+    a rename otherwise breaks the driver's per-round bench run."""
+    import bench
+
+    for name in bench.HEADLINE:
+        assert name in QUERIES, name
