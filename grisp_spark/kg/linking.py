@@ -110,6 +110,11 @@ def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=None
 
 _MISSING = object()  # lr_context_matrix legitimately returns None
 
+# score-time default for a sense whose entity_id has no entities row:
+# the zero vector (spec.centroid's empty-vocab result), matching the
+# shuffle path's left-join coalesce (linking_shuffle.py)
+_ZERO_EVEC = np.zeros(spec.EMBED_DIM, dtype=np.float32)
+
 # Executor-local packed entity-vector matrix, keyed by the evec
 # broadcast id (same rationale as _IDX_CACHE).
 _EVEC_PACK_CACHE: dict[int, tuple] = {}
@@ -121,12 +126,14 @@ def _evec_pack(evecs: dict, cache_key: int):
         eids = sorted(evecs)
         idx = {e: i for i, e in enumerate(eids)}
         # stored float64 (exact embedding of the float32 vectors) so
-        # the per-candidate gather feeds cosine_batch conversion-free
-        E = (
-            np.stack([evecs[e] for e in eids], dtype=np.float64)
-            if eids
-            else np.zeros((0, spec.EMBED_DIM), dtype=np.float64)
-        )
+        # the per-candidate gather feeds cosine_batch conversion-free.
+        # Trailing ZERO row: a sense whose entity_id has no entities
+        # row (referential-integrity violation in the KB) scores with
+        # the zero vector — spec.centroid's empty-vocab result and the
+        # shuffle path's left-join default — instead of KeyError-ing
+        rows = [evecs[e] for e in eids]
+        rows.append(np.zeros(spec.EMBED_DIM, dtype=np.float64))
+        E = np.stack(rows, dtype=np.float64)
         _EVEC_PACK_CACHE.clear()
         _EVEC_PACK_CACHE[cache_key] = pack = (idx, E)
     return pack
@@ -214,8 +221,13 @@ def _pick_batch_centroid(
             if tmpl is None:
                 senses = gaz[surface]
                 total = sum(s[1] for s in senses)
+                # missing entity → the trailing zero row of E
+                zero_row = len(eidx)
                 tmpl = (
-                    np.asarray([eidx[s[0]] for s in senses], dtype=np.int64),
+                    np.asarray(
+                        [eidx.get(s[0], zero_row) for s in senses],
+                        dtype=np.int64,
+                    ),
                     np.asarray([s[0] for s in senses], dtype=np.int64),
                     np.asarray(
                         [s[1] / total if total else 0.0 for s in senses],
@@ -428,7 +440,9 @@ def _score_senses(senses, tokens, begin, end, evecs, score_mode, ctx_cache, vec_
                 eid,
                 spec.score_candidate(
                     occ / total if total else 0.0,
-                    spec.lr_score_from_matrix(mat, evecs[eid]),
+                    spec.lr_score_from_matrix(
+                        mat, evecs.get(eid, _ZERO_EVEC)
+                    ),
                     "lr",
                 ),
             )
@@ -446,7 +460,9 @@ def _score_senses(senses, tokens, begin, end, evecs, score_mode, ctx_cache, vec_
         (
             eid,
             spec.score_candidate(
-                occ / total if total else 0.0, spec.cosine(ctx, evecs[eid]), "centroid"
+                occ / total if total else 0.0,
+                spec.cosine(ctx, evecs.get(eid, _ZERO_EVEC)),
+                "centroid",
             ),
         )
         for eid, occ, _doc in senses

@@ -140,6 +140,12 @@ def _candidate_spans(conv_tok: DataFrame, idx: DataFrame) -> DataFrame:
     )
     prev_tok = F.element_at("tokens", F.col("pos"))  # 1-based: pos-1 (0-based)
     this_tok = F.element_at("tokens", F.col("pos") + 1)
+    # element_at index 0 is invalid in Spark — guard the pos==0 case
+    # with when() so the access can never be evaluated, rather than
+    # relying on And short-circuit order surviving predicate rewrites
+    prev_ends_apos = F.when(
+        F.col("pos") > 0, prev_tok.endswith("'")
+    ).otherwise(F.lit(False))
     return expanded.select(
         "conv_id",
         "turn_idx",
@@ -149,8 +155,7 @@ def _candidate_spans(conv_tok: DataFrame, idx: DataFrame) -> DataFrame:
         (
             (F.col("g.ln") == 1)
             & (F.length(this_tok) == 1)
-            & (F.col("pos") > 0)
-            & prev_tok.endswith("'")
+            & prev_ends_apos
         ).alias("apos_skip"),
     ).filter(~F.col("apos_skip") & (F.length("surface") < spec.MAX_LABEL_CHARS))
 
@@ -185,7 +190,17 @@ def link_mentions_shuffle(
         sense_struct = F.struct(*sense_fields)
     else:
         evecs = entity_vectors_table(kb["entities"], wvec_bc)
-        senses_src = labels.join(evecs, "entity_id")
+        # LEFT join: a label_stats row whose entity_id has no entities
+        # row must keep its sense (the broadcast path keeps it and
+        # scores it with the zero vector, spec.centroid's empty-vocab
+        # result) — an inner join would silently drop it and the
+        # greedy region parse would diverge between the two paths
+        zero_vec = F.array_repeat(
+            F.lit(0.0).cast("float"), spec.EMBED_DIM
+        )
+        senses_src = labels.join(evecs, "entity_id", "left").withColumn(
+            "vec", F.coalesce(F.col("vec"), zero_vec)
+        )
         sense_struct = F.struct(*sense_fields, F.col("vec"))
     senses = senses_src.groupBy("label").agg(
         F.collect_list(sense_struct).alias("senses")

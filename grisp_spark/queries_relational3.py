@@ -56,10 +56,14 @@ def q24_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (HLL distinct + approx quantile). Sketch
     VALUES are engine-specific, so the checkable contract is: emit the
     exact counterparts plus a boolean per sketch asserting
-    |approx − exact| / exact ≤ 5% — DuckDB verifies the exact columns
-    and expects the booleans to be true (HLL's default rsd is 0.05;
-    the quantile sketch at its default accuracy is far tighter)."""
+    |approx − exact| / exact within tolerance — DuckDB verifies the
+    exact columns and expects the booleans to be true. HLL's default
+    rsd=0.05 is a ~1-sigma STANDARD ERROR, not a bound, so the HLL
+    tolerance is 3×rsd (0.15, ~99.7% of seeds/scales); the quantile
+    sketch at its default accuracy is deterministic and far tighter,
+    so it keeps 0.05."""
     li = load_table(spark, sf_dir, "lineitem")
+    hll_tol = 0.15  # 3x the default rsd of approx_count_distinct
     tol = 0.05
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
@@ -74,7 +78,7 @@ def q24_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (
             F.abs(F.col("_ap") - F.col("exact_parts"))
-            <= tol * F.col("exact_parts")
+            <= hll_tol * F.col("exact_parts")
         ).alias("parts_within_tol"),
         (F.abs(F.col("_am") - F.col("_em")) <= tol * F.abs(F.col("_em"))).alias(
             "median_within_tol"

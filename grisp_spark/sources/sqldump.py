@@ -23,10 +23,16 @@ _STR = r"'(?:[^'\\]|\\.|'')*'"
 TUPLE_RE = rf"\(((?:[^'()\\]|\\.|{_STR})+)\)"
 # mysqldump --complete-insert emits a column-list parenthetical —
 # `INSERT INTO t (a,b,c) VALUES ...` — that TUPLE_RE would capture as
-# a (garbage) tuple; everything up to the VALUES keyword is stripped
-# before tuple extraction. Plain MediaWiki dumps have no column list,
-# so the strip is a no-op prefix removal there.
-_VALUES_PREFIX = r"^.*?VALUES\s*"
+# a (garbage) tuple; the INSERT header (table name + optional column
+# list) is stripped before tuple extraction. Anchored on the header
+# STRUCTURE, not on the first literal "VALUES": a backtick-quoted
+# identifier containing the word VALUES must not truncate the strip
+# mid-identifier. Plain MediaWiki dumps have no column list, so the
+# strip is a no-op prefix removal there.
+# table name: backtick-quoted identifiers consumed atomically (so a
+# name containing the word VALUES can't terminate the match early),
+# other chars consumed up to the optional column list / the keyword
+_VALUES_PREFIX = r"^INSERT INTO\s+(?:`[^`]*`|[^`(])*(?:\([^)]*\)\s*)?VALUES\s*"
 
 
 def _tuple_body(col="value"):

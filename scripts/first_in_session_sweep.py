@@ -19,8 +19,25 @@ import __spark_entry__ as e
 from grisp_spark.session import get_spark
 spark = get_spark("sweep", cores=8, shuffle_partitions=8,
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
-e.queries()[sys.argv[1]](spark, sys.argv[2]).write.format("noop").mode(
-    "overwrite").save()
+name = sys.argv[1]
+if name == "q39_triples_prior_shuffle":
+    # the oversized-gazetteer path composes pandas-UDF scoring with
+    # self-join-adjacent shapes (the binding-bug class) AND must keep
+    # its no-KB-broadcast property as the first query of a session
+    for k in ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+        spark.conf.set(k, "-1")
+df = e.queries()[name](spark, sys.argv[2])
+if name == "q39_triples_prior_shuffle":
+    from grisp_spark.plans import physical_plan
+    plan = physical_plan(df)
+    # the ONLY allowed broadcast is rewrite_linked's explicit hint on
+    # the canonical map (canonicalize.py:56) — the KB/linking joins
+    # must all be shuffle joins under the disabled thresholds
+    assert plan.count("BroadcastHashJoin") <= 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+df.write.format("noop").mode("overwrite").save()
 """
 
 

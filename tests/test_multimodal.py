@@ -137,3 +137,87 @@ def test_synth_roundtrip_spark(spark, sf_dir):
                 "png" if kind == 0 else "jpeg",
             )
         assert meta[r.doc_id] == expect
+
+
+# ---- property tests: random valid-header corpora (VERDICT r3 #7) ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_dims = st.integers(min_value=1, max_value=0xFFFF)
+_body = st.binary(max_size=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(w=st.integers(1, 2**32 - 1), h=st.integers(1, 2**32 - 1), body=_body)
+def test_prop_png_roundtrip(w, h, body):
+    assert parse_media_header(_png(w, h) + body) == (w, h, "png")
+
+
+# non-frame segments a real camera JPEG carries before the SOF: APPn
+# (E0-EF), COM (FE), DQT (DB), DHT (C4 — crucially NOT a frame header)
+_seg_marker = st.sampled_from(
+    [bytes([0xFF, m]) for m in (*range(0xE0, 0xF0), 0xFE, 0xDB, 0xC4)]
+)
+
+
+@st.composite
+def _jpeg_segments(draw):
+    segs = []
+    for _ in range(draw(st.integers(0, 4))):
+        payload = draw(st.binary(max_size=32))
+        segs.append(
+            draw(_seg_marker) + struct.pack(">H", len(payload) + 2) + payload
+        )
+    return tuple(segs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(w=_dims, h=_dims, segs=_jpeg_segments(), pad=st.booleans(), body=_body)
+def test_prop_jpeg_roundtrip(w, h, segs, pad, body):
+    payload = _jpeg(w, h, pad=pad, extra_segments=segs) + body
+    assert parse_media_header(payload) == (w, h, "jpeg")
+
+
+@st.composite
+def _wav_chunks(draw):
+    chunks = b""
+    for _ in range(draw(st.integers(0, 3))):
+        cid = draw(
+            st.binary(min_size=4, max_size=4).filter(lambda c: c != b"fmt ")
+        )
+        payload = draw(st.binary(max_size=16))
+        chunks += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunks += b"\x00"  # word alignment
+    return chunks
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rate=st.integers(1, 2**31 - 1),
+    channels=st.integers(1, 0xFFFF),
+    pre=_wav_chunks(),
+    body=_body,
+)
+def test_prop_wav_roundtrip(rate, channels, pre, body):
+    fmt = (
+        b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack(
+            "<HHIIHH", 1, channels, rate,
+            (rate * channels * 2) % 2**32, (channels * 2) % 2**16, 16,
+        )
+    )
+    inner = pre + fmt + b"data" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", (4 + len(inner)) % 2**32) + b"WAVE" + inner
+    assert parse_media_header(payload) == (rate, channels, "wav")
+
+
+@settings(max_examples=300, deadline=None)
+@given(garbage=st.binary(max_size=256))
+def test_prop_never_raises(garbage):
+    """Total function over arbitrary bytes: a corrupt blob at 100 TB
+    must classify, never kill the stage."""
+    w, h, fmt = parse_media_header(garbage)
+    assert fmt in ("png", "jpeg", "wav", "empty", "unknown")
+    assert w >= 0 and h >= 0

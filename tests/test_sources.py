@@ -211,6 +211,27 @@ def test_sql_insert_complete_insert_column_list(spark):
     assert stats[0].raw_tuples == stats[0].parsed_tuples == 2
 
 
+def test_sql_insert_values_in_identifier(spark):
+    """A backtick-quoted identifier containing the word VALUES must
+    not truncate the header strip mid-identifier (the strip anchors on
+    the INSERT header structure, not the first literal VALUES)."""
+    os.makedirs(FIX, exist_ok=True)
+    p = os.path.join(FIX, "values_ident.sql")
+    with open(p, "w") as f:
+        f.write(
+            "INSERT INTO `myVALUEStbl` (ll_from,ll_lang,ll_title) VALUES "
+            "(8,'fr','oui'),(9,'de','ja');\n"
+        )
+    lines = spark.read.text(p)
+    got = {
+        (r.page_id, r.lang, r.title)
+        for r in sqldump.parse_insert_tuples(lines).collect()
+    }
+    assert got == {(8, "fr", "oui"), (9, "de", "ja")}
+    stats = sqldump.tuple_counts(lines).collect()
+    assert stats[0].raw_tuples == stats[0].parsed_tuples == 2
+
+
 def test_repair_truncated_ids(spark):
     """C6 (ProcessWikiData.java:261-289): the reference's own example —
     33702 (canis lupus) appearing as 3702 after losing its first
