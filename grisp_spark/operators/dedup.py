@@ -197,3 +197,62 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         F.lit(0),
     ).cast("long")
     return votes.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+
+
+SUBSTR_WINDOW_TOKENS = 8
+HOT_WINDOW_DF_CAP = 1000
+
+
+def substring_window_pairs(
+    docs: DataFrame,
+    window: int = SUBSTR_WINDOW_TOKENS,
+    df_cap: int = HOT_WINDOW_DF_CAP,
+) -> DataFrame:
+    """Verbatim-substring duplication at window granularity (the
+    exact-substring criterion of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", approximated without
+    a distributed suffix array): two docs share a ``window``-token
+    verbatim sliding window ⟺ they contain a common substring of
+    ≥ ``window`` tokens. Map-side per doc: DISTINCT md5 of every
+    sliding window; ONE equi-join shuffle on the window hash; windows
+    appearing in more than ``df_cap`` docs (boilerplate headers,
+    license blocks) are dropped before the join — the skew guard that
+    keeps the join linear at corpus scale, same shape as
+    jaccard_pairs' hot-shingle cap. Returns
+    (doc_a, doc_b, shared_windows) with shared_windows = number of
+    distinct window hashes the pair has in common."""
+    toks = docs.select("doc_id", _tokens().alias("w"))
+    wins = (
+        toks.filter(F.size("w") >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - window),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("w"), i + 1, window))
+                    ),
+                )
+            ).alias("win"),
+        )
+        .distinct()
+    )
+    rare = (
+        wins.groupBy("win")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+    )
+    wins = wins.join(rare.select("win"), "win", "left_semi")
+    a, b = wins.alias("a"), wins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_windows"))
+        .orderBy("doc_a", "doc_b")
+    )

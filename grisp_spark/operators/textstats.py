@@ -83,3 +83,52 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         ),
     )
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals (Rae et al. 2021
+    §A1.1), per doc with ZERO shuffle: the top-token / top-bigram
+    fractions come from a sort + linear fold INSIDE the row (max run
+    length of the sorted array == max frequency), so the stage is
+    map-only — no (doc_id, token) explode-shuffle. High values flag
+    degenerate repetition / boilerplate for the pre-training quality
+    filter."""
+    w = _tokens()
+
+    def _max_freq(arr):
+        z = F.lit(0).cast("long")
+        one = F.lit(1).cast("long")
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(F.lit("").alias("prev"), z.alias("run"), z.alias("best")),
+            lambda acc, t: F.struct(
+                t.alias("prev"),
+                F.when(t == acc.prev, acc.run + one).otherwise(one).alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(t == acc.prev, acc.run + one).otherwise(one),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
+        )
+
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    n_tok = F.size(w)
+    n_big = F.size(bigrams)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (F.size(F.array_distinct(w)) / F.greatest(n_tok, F.lit(1))).alias(
+            "distinct_token_ratio"
+        ),
+        (_max_freq(w) / F.greatest(n_tok, F.lit(1))).alias("top_token_frac"),
+        (_max_freq(bigrams) / F.greatest(n_big, F.lit(1))).alias(
+            "top_bigram_frac"
+        ),
+    ).orderBy("doc_id")

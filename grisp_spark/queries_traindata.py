@@ -725,6 +725,68 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+def dd10_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim 8-token-window substring-dedup pairs (the Lee et al.
+    2022 exact-substring criterion at window granularity) — one
+    hash-equi-join shuffle, hot-window df cap for skew."""
+    return dedup.substring_window_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def ta08_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate metrics, map-only (the
+    top-frequency fractions are an in-row sort + fold)."""
+    return textstats.repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["dd10_substring_windows"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(w[i : i + 7], ' ')) AS win
+        FROM toks, UNNEST(generate_series(1, len(w) - 7)) t(i)
+        WHERE len(w) >= 8
+    ),
+    rare AS (SELECT win FROM wins GROUP BY win HAVING count(*) <= 1000),
+    winr AS (SELECT wins.* FROM wins JOIN rare USING (win))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_windows
+    FROM winr a JOIN winr b ON a.win = b.win AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY doc_a, doc_b
+"""
+
+ORACLES["ta08_repetition"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents
+    ), tc AS (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS token FROM t)
+        GROUP BY doc_id, token
+    ), ta AS (
+        SELECT doc_id, max(c) AS top_tok, count(*) AS d_tok
+        FROM tc GROUP BY doc_id
+    ), big AS (
+        SELECT doc_id, array_to_string(w[i : i + 1], ' ') AS bg
+        FROM t, UNNEST(generate_series(1, len(w) - 1)) s(i)
+        WHERE len(w) >= 2
+    ), bc AS (
+        SELECT doc_id, count(*) AS c FROM big GROUP BY doc_id, bg
+    ), ba AS (
+        SELECT doc_id, max(c) AS top_big, sum(c) AS n_big
+        FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(coalesce(d_tok, 0) AS DOUBLE) / greatest(len(w), 1)
+             AS distinct_token_ratio,
+           CAST(coalesce(top_tok, 0) AS DOUBLE) / greatest(len(w), 1)
+             AS top_token_frac,
+           CAST(coalesce(top_big, 0) AS DOUBLE)
+             / greatest(coalesce(n_big, 0), 1) AS top_bigram_frac
+    FROM t LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
+    ORDER BY doc_id
+"""
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

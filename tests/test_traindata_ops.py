@@ -1,0 +1,75 @@
+"""Unit tests for the round-4 training-data operators: verbatim
+window substring-dedup (dd10) and repetition metrics (ta08). The
+sf0.01 DuckDB oracle parity runs in test_entry_contract; these pin
+the semantics on planted corpora plus the plan-shape claims."""
+
+import pytest
+
+from grisp_spark.operators import dedup, textstats
+from grisp_spark.plans import physical_plan
+
+
+BASE8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (1, BASE8 + " xa xb xc"),          # 4 sliding windows
+        (2, "ya yb " + BASE8),             # shares exactly the base window
+        (3, BASE8 + " xa xb xc"),          # exact dup of doc 1
+        (4, "za zb zc zd ze zf zg zh zi"),  # unrelated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_window_pairs_planted(spark, planted):
+    got = {
+        (r.doc_a, r.doc_b): r.shared_windows
+        for r in dedup.substring_window_pairs(planted, window=8).collect()
+    }
+    # doc1/doc3 share all 4 windows; the base window is the only one
+    # fully contained in both doc1(doc3) and doc2
+    assert got == {(1, 2): 1, (1, 3): 4, (2, 3): 1}
+
+
+def test_substring_hot_window_cap(spark, planted):
+    """df_cap=1 keeps only windows confined to a single doc — every
+    shared window is by definition in ≥2 docs, so the capped join
+    must produce nothing (the skew guard drops boilerplate)."""
+    assert dedup.substring_window_pairs(planted, window=8, df_cap=1).count() == 0
+
+
+def test_substring_join_is_equi(spark, planted):
+    plan = physical_plan(dedup.substring_window_pairs(planted, window=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_metrics_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_metrics(docs).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 4
+    assert r1.distinct_token_ratio == pytest.approx(0.5)
+    assert r1.top_token_frac == pytest.approx(3 / 4)
+    # bigrams: "a a", "a a", "a b" → top frac 2/3
+    assert r1.top_bigram_frac == pytest.approx(2 / 3)
+    r2 = rows[2]
+    assert (r2.n_tokens, r2.top_bigram_frac) == (1, 0.0)
+    assert r2.top_token_frac == 1.0
+    r3 = rows[3]
+    assert (r3.n_tokens, r3.distinct_token_ratio, r3.top_token_frac) == (0, 0.0, 0.0)
+
+
+def test_repetition_is_map_only(spark):
+    """The whole metric computation happens inside the row (sort +
+    fold) — the plan must contain no aggregation and no join; the
+    only exchange allowed is the final presentation sort."""
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = physical_plan(textstats.repetition_metrics(docs))
+    assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
+    assert "Join" not in plan
