@@ -37,10 +37,11 @@ from grisp_spark import (  # noqa: E402
 # priorities (VERDICT r3 #1): the KG spine q32-q39 (never driver-run —
 # they certify LabelSensesStep/LabelOccurrencesStep/PageLabelStep/
 # PageLinkSummaryStep parity and the end-to-end DuckDB replay), the
-# round-3-rewritten mm01-mm04 header parsers, and ta03/ta04 (rotated
-# out in r3). Rotated OUT to make room — all driver-green in r3 AND
-# locally oracle-checked every session, operators exercised elsewhere:
-# q05, q11, q12, q14, q15, q17, q18, q20-q25, dd06 (demoted baseline).
+# round-3-rewritten mm01-mm04 header parsers, ta03/ta04 (rotated out
+# in r3), and the round-4-new dd10/ta08. Rotated OUT to make room —
+# all driver-green in r3 AND locally oracle-checked every session,
+# operators exercised elsewhere: q05, q10, q11, q12, q14, q15, q16,
+# q17, q18, q20-q25, dd06 (demoted baseline).
 DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary",
     "q02_global_counters",
@@ -50,9 +51,7 @@ DRIVER_WINDOW: list[str] = [
     "q07_is_primary_topk",
     "q08_adjacency_out",
     "q09_sessionize",
-    "q10_distinct_pairs",
     "q13_redirect_closure",
-    "q16_salted_stats",
     "q19_asof_join",
     "q26_wikidata_backbone",
     "q27_translations",
@@ -77,6 +76,7 @@ DRIVER_WINDOW: list[str] = [
     "dd07_embed_neardup_lsh",
     "dd08_embed_neardup_lsh_multi",
     "dd09_dedup_survivors",
+    "dd10_substring_windows",
     "ss01_cosine_topk",
     "ss02_lsh_ann",
     "ss03_ivf_ann",
@@ -88,6 +88,7 @@ DRIVER_WINDOW: list[str] = [
     "ta05_stratified_sample",
     "ta06_pack_sequences",
     "ta07_corpus_pipeline",
+    "ta08_repetition",
     "mm01_decode_metadata",
     "mm02_sample_frames",
     "mm03_extract_features",

@@ -75,6 +75,8 @@ def test_driver_window_covers_kg_spine_and_recent_rewrites():
         "mm01_decode_metadata", "mm02_sample_frames",
         "mm03_extract_features", "mm04_resize",
         "ta03_token_counts", "ta04_fingerprint",
+        # r4-new operators — never had a driver row
+        "dd10_substring_windows", "ta08_repetition",
     }
     assert must_run <= window, sorted(must_run - window)
 
