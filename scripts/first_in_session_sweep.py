@@ -29,12 +29,16 @@ if name == "q39_triples_prior_shuffle":
         spark.conf.set(k, "-1")
 df = e.queries()[name](spark, sys.argv[2])
 if name == "q39_triples_prior_shuffle":
+    import re
     from grisp_spark.plans import physical_plan
     plan = physical_plan(df)
     # the ONLY allowed broadcast is rewrite_linked's explicit hint on
     # the canonical map (canonicalize.py:56) — the KB/linking joins
-    # must all be shuffle joins under the disabled thresholds
-    assert plan.count("BroadcastHashJoin") <= 1, plan
+    # must all be shuffle joins under the disabled thresholds. Count
+    # DISTINCT exchanges: a cached/union subtree renders the same
+    # broadcast (same plan_id) several times in the plan text.
+    bxids = set(re.findall(r"BroadcastExchange .*?\[plan_id=(\d+)\]", plan))
+    assert len(bxids) <= 1, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 df.write.format("noop").mode("overwrite").save()
