@@ -38,10 +38,11 @@ from grisp_spark import (  # noqa: E402
 # they certify LabelSensesStep/LabelOccurrencesStep/PageLabelStep/
 # PageLinkSummaryStep parity and the end-to-end DuckDB replay), the
 # round-3-rewritten mm01-mm04 header parsers, ta03/ta04 (rotated out
-# in r3), and the round-4-new dd10/ta08. Rotated OUT to make room —
-# all driver-green in r3 AND locally oracle-checked every session,
-# operators exercised elsewhere: q05, q10, q11, q12, q14, q15, q16,
-# q17, q18, q20-q25, dd06 (demoted baseline).
+# in r3), and the round-4-new dd10/ta08/ss05/ta09. Rotated OUT to
+# make room — all driver-green in r3 AND locally oracle-checked every
+# session, operators exercised elsewhere: q05, q10, q11, q12, q14,
+# q15, q16, q17, q18, q20-q25, dd06 (demoted baseline), ss02/ss03
+# (LSH/IVF machinery covered by ss04 + dd07/dd08).
 DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary",
     "q02_global_counters",
@@ -78,9 +79,8 @@ DRIVER_WINDOW: list[str] = [
     "dd09_dedup_survivors",
     "dd10_substring_windows",
     "ss01_cosine_topk",
-    "ss02_lsh_ann",
-    "ss03_ivf_ann",
     "ss04_ivf_ann_multiprobe",
+    "ss05_cosine_topk_blocked",
     "ta01_lang_id",
     "ta02_quality",
     "ta03_token_counts",
@@ -89,6 +89,7 @@ DRIVER_WINDOW: list[str] = [
     "ta06_pack_sequences",
     "ta07_corpus_pipeline",
     "ta08_repetition",
+    "ta09_tfidf_topk",
     "mm01_decode_metadata",
     "mm02_sample_frames",
     "mm03_extract_features",

@@ -367,3 +367,77 @@ def topk_lsh(
         .select("q_id", "c_id", "cos", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+def topk_bruteforce_blocked(
+    emb: DataFrame, n_queries: int = 5, k: int = 10, dim: int = 64
+) -> DataFrame:
+    """ss01's exact semantics with the 100 TB scan shape: ONE
+    mapInPandas pass scores each Arrow batch against the broadcast
+    query matrix in numpy (dimension-sequential accumulation — the
+    same association order as _seq_dot_udf, so per-pair cosines are
+    bit-identical to ss01 and its DuckDB oracle) and emits only the
+    per-batch top-k candidates per query. The shuffle that follows
+    carries ≤ batches × queries × k rows instead of ss01's
+    queries × corpus join fan-out; the global window then picks the
+    true top-k (per-partition top-k is a superset of the global
+    answer, so the recombination is exact)."""
+    from collections.abc import Iterator
+
+    spark = emb.sparkSession
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_list = [
+        (int(r.vec_id), np.asarray(r.embedding, dtype=np.float64))
+        for r in sorted(qrows, key=lambda r: r.vec_id)
+    ]
+
+    def _seq_dot_mat(C: np.ndarray, v: np.ndarray) -> np.ndarray:
+        acc = C[:, 0] * v[0]
+        for i in range(1, C.shape[1]):
+            acc = acc + C[:, i] * v[i]
+        return acc
+
+    q_bc = spark.sparkContext.broadcast(
+        [(qid, qv, float(np.sqrt(_seq_dot_mat(qv[None, :], qv)[0]))) for qid, qv in q_list]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        queries = q_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_ids = pdf["vec_id"].to_numpy()
+            # c_norm = sqrt(seq-dot(c, c)), same order as the UDF
+            acc = C[:, 0] * C[:, 0]
+            for i in range(1, C.shape[1]):
+                acc = acc + C[:, i] * C[:, i]
+            c_norm = np.sqrt(acc)
+            out_q, out_c, out_cos = [], [], []
+            for qid, qv, qn in queries:
+                cos = _seq_dot_mat(C, qv) / (qn * c_norm)
+                keep = c_ids != qid  # self-pair excluded like ss01
+                cs, ids = cos[keep], c_ids[keep]
+                # per-batch candidate cut: top-k by (cos desc, id asc)
+                order = np.lexsort((ids, -cs))[:k]
+                out_q.extend([qid] * len(order))
+                out_c.extend(ids[order])
+                out_cos.extend(cs[order])
+            yield pd.DataFrame(
+                {"q_id": out_q, "c_id": out_c, "cos": out_cos}
+            )
+
+    cands = emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="q_id long, c_id long, cos double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+        .orderBy("q_id", "rank")
+    )

@@ -132,3 +132,34 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
             "top_bigram_frac"
         ),
     ).orderBy("doc_id")
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the corpus-conditioned
+    per-doc statistic shape (same plan as feature hashing / rare-term
+    scoring at 100 TB): term document-frequencies aggregate once
+    (partial-agg shuffle on term), broadcast-join back onto the
+    per-doc term counts (vocab ≪ corpus), window top-k per doc.
+
+    idf is the exact rational N/df rather than log(N/df): ranking is
+    order-isomorphic (log is monotone) and every value stays an exact
+    int ratio, so the DuckDB oracle matches bit-for-bit without
+    transcendental-function cross-engine drift."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf", F.col("tf") * F.lit(n_docs) / F.col("df")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )

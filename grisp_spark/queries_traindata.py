@@ -787,8 +787,49 @@ ORACLES["ta08_repetition"] = r"""
     ORDER BY doc_id
 """
 
+def ss05_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss01's exact answer via the blocked Arrow scan (one mapInPandas
+    pass, per-batch candidate cut, tiny global top-k shuffle) — the
+    100 TB shape for brute-force similarity; shares ss01's oracle."""
+    return similarity.topk_bruteforce_blocked(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10, dim=64
+    )
+
+
+def ta09_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc with exact rational idf (N/df)."""
+    return textstats.tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
+
+
+ORACLES["ta09_tfidf_topk"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT doc_id, term, tf, df,
+               CAST(tf * (SELECT count(*) FROM documents) AS DOUBLE) / df
+                 AS tfidf
+        FROM tf JOIN dfq USING (term)
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
     if callable(fn) and name[:2] in ("dd", "ss", "ta", "mm") and "_" in name
 }
+# the blocked scan computes ss01's exact answer — same oracle
+ORACLES["ss05_cosine_topk_blocked"] = ORACLES["ss01_cosine_topk"]

@@ -77,6 +77,7 @@ def test_driver_window_covers_kg_spine_and_recent_rewrites():
         "ta03_token_counts", "ta04_fingerprint",
         # r4-new operators — never had a driver row
         "dd10_substring_windows", "ta08_repetition",
+        "ss05_cosine_topk_blocked", "ta09_tfidf_topk",
     }
     assert must_run <= window, sorted(must_run - window)
 

@@ -73,3 +73,58 @@ def test_repetition_is_map_only(spark):
     plan = physical_plan(textstats.repetition_metrics(docs))
     assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
     assert "Join" not in plan
+
+
+def test_tfidf_topk_values(spark):
+    """3-doc corpus, hand-checked: 'cat' df=1 in doc1 → tfidf 3;
+    shared 'the' df=3 → tfidf tf*3/3 = tf."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the"),
+            (2, "the dog"),
+            (3, "the dog dog"),
+        ],
+        "doc_id long, text string",
+    )
+    from grisp_spark.operators.textstats import tfidf_topk
+
+    rows = [
+        (r.doc_id, r.term, r.tf, r.df, r.tfidf, r.rank)
+        for r in tfidf_topk(docs, k=2).collect()
+    ]
+    assert rows == [
+        # doc1: cat tfidf 1*3/1=3 beats the 2*3/3=2
+        (1, "cat", 1, 1, 3.0, 1),
+        (1, "the", 2, 3, 2.0, 2),
+        # doc2: dog 1*3/2=1.5 beats the 1*3/3=1
+        (2, "dog", 1, 2, 1.5, 1),
+        (2, "the", 1, 3, 1.0, 2),
+        # doc3: dog 2*3/2=3 beats the 1
+        (3, "dog", 2, 2, 3.0, 1),
+        (3, "the", 1, 3, 1.0, 2),
+    ]
+
+
+def test_ss05_matches_ss01_rows(spark, sf_dir):
+    """The blocked Arrow scan must reproduce ss01's exact rows —
+    same cosines bit-for-bit (shared dimension-sequential kernel
+    order), same ranks."""
+    from grisp_spark.operators import similarity
+    from grisp_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = [tuple(r) for r in similarity.topk_bruteforce(emb).collect()]
+    b = [tuple(r) for r in similarity.topk_bruteforce_blocked(emb).collect()]
+    assert a == b
+
+
+def test_ss05_no_corpus_join(spark, sf_dir):
+    """The whole scan is one mapInPandas stage — the plan must contain
+    no join at all (ss01 fans out queries × corpus through a
+    broadcast join; the blocked scan must not)."""
+    from grisp_spark.operators import similarity
+    from grisp_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = physical_plan(similarity.topk_bruteforce_blocked(emb))
+    assert "Join" not in plan, plan
