@@ -147,6 +147,13 @@ def main_bench() -> None:
         "bench", cores=CPUS,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # absorb one-time session costs (JVM spin-up, codegen, Arrow/python
+    # worker init) with a synthetic job BEFORE timing — q01's number
+    # then measures q01, not SparkSession warm-up. spark.range touches
+    # no input data, so parquet stays as cold as it was.
+    _materialize(
+        spark.range(1_000_000).selectExpr("id % 7 AS k").groupBy("k").count()
+    )
     qs = entry_mod.queries()
     times: dict[str, float] = {}
     total = 0.0
@@ -180,6 +187,7 @@ def main_bench() -> None:
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / kg_sec, 1),
                 "kg_pass_secs": [round(s, 3) for _, s in kg_passes],
+                "protocol": "warmup-isolated queries; kg best-of-2",
             }
         )
     )
