@@ -522,3 +522,64 @@ QUERIES = {
     for name, fn in list(globals().items())
     if callable(fn) and name.startswith("q") and name[1:3].isdigit()
 }
+
+
+def q41_timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: events bucketed
+    to the hour per event_type with count / exact sum / min / max and
+    deterministic first/last values (ordered by (ts, event_id) —
+    struct-min/max, no nondeterministic first()/min_by ties). The
+    shape TimescaleDB materializes for rollup views: ONE partial-agg
+    shuffle on (event_type, bucket); at 100 TB the bucket column also
+    serves as the write partition key.
+
+    value is DOUBLE in the source; sums accumulate in DECIMAL(18,2)
+    (the generator writes 2-decimal values, so the cast is lossless)
+    and convert to DOUBLE once at the end — exact and order-free on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    dec = F.col("value").cast("decimal(18,2)")
+    ordkey = F.struct(ts.alias("ts"), F.col("event_id").alias("event_id"),
+                      F.col("value").alias("value"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", ts).alias("bucket"),
+            "value", "event_id", ts.alias("ts_c"), dec.alias("dec"),
+            ordkey.alias("ok"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dec").cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min("ok").getField("value").alias("first_value"),
+            F.max("ok").getField("value").alias("last_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+ORACLES["q41_timeseries_rollup"] = """
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, ts,
+               event_id, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rf,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rl
+        FROM events
+    )
+    SELECT event_type, bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           max(CASE WHEN rf = 1 THEN value END) AS first_value,
+           max(CASE WHEN rl = 1 THEN value END) AS last_value
+    FROM e GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+"""
+QUERIES["q41_timeseries_rollup"] = q41_timeseries_rollup
