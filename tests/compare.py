@@ -75,6 +75,18 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, name: str = ""
     assert sorted(spdf.columns) == sorted(ddf.columns), (
         f"{name}: column mismatch spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}"
     )
+    # the DRIVER hashes dtypes: a value-identical column that is float
+    # on one side and integer on the other (e.g. an un-cast DuckDB
+    # HUGEINT sum → float64) is locally invisible after canonization
+    # but driver-red. Pin float-ness parity per column.
+    floaty = [
+        c for c in spdf.columns
+        if (spdf[c].dtype.kind == "f") != (ddf[c].dtype.kind == "f")
+    ]
+    assert not floaty, (
+        f"{name}: float/int dtype mismatch on {floaty} — cast the oracle "
+        f"(e.g. HUGEINT sum → BIGINT) or the Spark column"
+    )
     assert len(spdf) == len(ddf), f"{name}: row count spark={len(spdf)} duck={len(ddf)}"
     srows, drows = canonical_rows(spdf), canonical_rows(ddf)
     mism = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
