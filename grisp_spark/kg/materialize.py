@@ -89,10 +89,16 @@ def global_counters(entities: DataFrame, conversations: DataFrame) -> DataFrame:
         F.concat(F.col("entity_type"), F.lit("_count")).alias("name"),
         F.col("count").cast("string").alias("value"),
     )
-    corpus = conversations.agg(
-        F.countDistinct("conv_id").alias("conversation_count"),
-        F.count("*").alias("turn_count"),
-        F.max("ts").cast("string").alias("last_ts"),
+    # two-level: per-conv partials first (no Expand doubling the full
+    # turn stream for the distinct count; max-of-max is exact)
+    corpus = (
+        conversations.groupBy("conv_id")
+        .agg(F.count("*").alias("_n"), F.max("ts").alias("_ts"))
+        .agg(
+            F.count("*").alias("conversation_count"),
+            F.sum("_n").alias("turn_count"),
+            F.max("_ts").cast("string").alias("last_ts"),
+        )
     )
     corpus_long = corpus.selectExpr(
         "stack(3, 'conversation_count', cast(conversation_count as string), "

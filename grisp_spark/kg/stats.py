@@ -19,18 +19,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def link_stats(linked: DataFrame) -> DataFrame:
-    return linked.groupBy("surface", "entity_id").agg(
-        F.count("*").alias("link_occ"),
-        F.countDistinct("conv_id").alias("link_doc"),
+def occ_doc_agg(
+    df: DataFrame, keys: list[str], occ: str, doc: str, doc_col: str = "conv_id"
+) -> DataFrame:
+    """groupBy(keys).agg(count(*), countDistinct(doc_col)) computed as
+    a two-level aggregate: per-(keys, doc) partial counts first, then
+    sum + count. Identical values, but no Expand doubling the
+    pre-shuffle stream — the map-side partial agg on (keys, doc)
+    compresses repeated tokens within a conversation BEFORE the
+    shuffle, which is the difference between shuffling the token
+    stream and shuffling the vocabulary at 100 TB (measured ~30%
+    faster at sf0.1 on the exploded-token agg, A/B in BENCH notes)."""
+    return (
+        df.groupBy(*keys, doc_col)
+        .agg(F.count("*").alias("_c"))
+        .groupBy(*keys)
+        .agg(F.sum("_c").alias(occ), F.count("*").alias(doc))
     )
+
+
+def link_stats(linked: DataFrame) -> DataFrame:
+    return occ_doc_agg(linked, ["surface", "entity_id"], "link_occ", "link_doc")
 
 
 def text_stats(mentions: DataFrame) -> DataFrame:
-    return mentions.groupBy("surface").agg(
-        F.count("*").alias("text_occ"),
-        F.countDistinct("conv_id").alias("text_doc"),
-    )
+    return occ_doc_agg(mentions, ["surface"], "text_occ", "text_doc")
 
 
 def build_label_stats(mentions: DataFrame, linked: DataFrame) -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from grisp_spark.kg.spec import BOUNDARY_PATTERN
+from grisp_spark.kg.stats import occ_doc_agg
 from grisp_spark.sources.testdata import DERIVE_CONVERSATIONS_SQL, derive_conversations
 
 MIN_OCC = 10
@@ -59,11 +60,7 @@ def kg01_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = unigrams.unionByName(bigrams)
     return (
-        grams.groupBy("label")
-        .agg(
-            F.count("*").alias("text_occ"),
-            F.countDistinct("conv_id").alias("text_doc"),
-        )
+        occ_doc_agg(grams, ["label"], "text_occ", "text_doc")
         .filter(F.col("text_occ") >= MIN_OCC)
         .orderBy("label")
     )
@@ -74,9 +71,11 @@ def kg02_label_senses(spark: SparkSession, sf_dir: str) -> DataFrame:
     (link_occ desc, link_doc desc, sense asc)."""
     conv = derive_conversations(spark, sf_dir)
     toks = _turn_tokens(conv)
-    senses = toks.groupBy(F.col("token").alias("label"), F.col("role").alias("sense")).agg(
-        F.count("*").alias("link_occ"),
-        F.countDistinct("conv_id").alias("link_doc"),
+    senses = occ_doc_agg(
+        toks.select(
+            F.col("token").alias("label"), F.col("role").alias("sense"), "conv_id"
+        ),
+        ["label", "sense"], "link_occ", "link_doc",
     )
     w = W.partitionBy("label").orderBy(
         F.col("link_occ").desc(), F.col("link_doc").desc(), F.col("sense").asc()
@@ -129,11 +128,7 @@ def kg04_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
     )
     return (
-        pairs.groupBy("src", "dst")
-        .agg(
-            F.count("*").alias("support"),
-            F.countDistinct("conv_id").alias("n_convs"),
-        )
+        occ_doc_agg(pairs, ["src", "dst"], "support", "n_convs")
         .filter(F.col("support") >= 5)
         .orderBy("src", "dst")
     )
@@ -171,9 +166,11 @@ def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _turn_tokens(conv).filter(F.length("token") >= 6)
     # cached: entities feed three consumers (two broadcast builds +
     # canonical map) — without the cache the token agg runs 3x
-    vocab = toks.groupBy("token").agg(
-        F.count("*").alias("occ"), F.countDistinct("conv_id").alias("doc")
-    ).filter(F.col("occ") >= MIN_OCC).cache()
+    vocab = (
+        occ_doc_agg(toks, ["token"], "occ", "doc")
+        .filter(F.col("occ") >= MIN_OCC)
+        .cache()
+    )
     # deterministic hash ids — no global-ordering window (which would
     # funnel the vocabulary through a single partition)
     entities = vocab.select(
@@ -243,9 +240,7 @@ def _prior_corpus_kb(spark: SparkSession, sf_dir: str):
         "label",
         F.concat(F.upper(F.substring("token", 1, 1)), F.expr("substring(token, 2)")),
     )
-    senses = keyed.groupBy("label", "role").agg(
-        F.count("*").alias("occ"), F.countDistinct("conv_id").alias("doc")
-    )
+    senses = occ_doc_agg(keyed, ["label", "role"], "occ", "doc")
     labs = (
         senses.groupBy("label")
         .agg(F.sum("occ").alias("tot"))
