@@ -119,7 +119,7 @@ def run_kg_job(spark, data_dir: str, partitions: int = None) -> tuple[int, float
     staged resumable path computes the identical triple set, see
     tests/test_kg_pipeline.py::test_fused_matches_staged).
     Returns (n_turns, wall_sec)."""
-    from grisp_spark.kg import canonicalize, linking
+    from grisp_spark.kg import linking
 
     conv = spark.read.parquet(os.path.join(data_dir, "conversations.parquet"))
     kb = {
@@ -128,8 +128,7 @@ def run_kg_job(spark, data_dir: str, partitions: int = None) -> tuple[int, float
     }
     n_turns = conv.count()
     t0 = time.monotonic()
-    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
-    canon_bc = canonicalize.canonical_map_broadcast(spark, kb["entities"])
+    gaz_bc, evec_bc, canon_bc = linking.build_kb_broadcasts(spark, kb)
     trip = linking.link_and_extract(
         conv, gaz_bc, evec_bc, canon_bc,
         KG_JOB_PARTITIONS if partitions is None else partitions,

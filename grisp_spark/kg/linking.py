@@ -108,6 +108,49 @@ def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=None
     return sc.broadcast(gaz), sc.broadcast(evecs)
 
 
+def build_kb_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=None):
+    """(gaz_bc, evec_bc, canon_bc) from ONE collection per KB table:
+    entities ride to the driver once — (entity_id, context_vocab,
+    redirect_to) — feeding both the vector build and a driver-side
+    min-id union-find for the canonical map. Two driver jobs instead
+    of the 5-6 that separate build_broadcasts +
+    canonical_map_broadcast runs cost (each toPandas/count is a full
+    job; the reference's DumpExtractor.java:253-344 likewise builds
+    all its LMDB caches in one pass). Broadcast-regime only, like its
+    callers — beyond BROADCAST_LABEL_LIMIT use the shuffle path."""
+    from grisp_spark.kg import canonicalize
+
+    stats = (
+        kb["label_stats"]
+        .filter(F.length("label") < spec.MAX_LABEL_CHARS)
+        .select("label", "entity_id", "link_occ", "link_doc")
+        .toPandas()
+    )
+    gaz: dict[str, list[tuple[int, int, int]]] = {}
+    for r in stats.itertuples(index=False):
+        gaz.setdefault(r.label, []).append(
+            (int(r.entity_id), int(r.link_occ), int(r.link_doc))
+        )
+    gaz = {k: spec.order_senses(v) for k, v in gaz.items()}
+
+    ents = kb["entities"].select(
+        "entity_id", "context_vocab", "redirect_to"
+    ).toPandas()
+    vec_fn = spec.store_vec_fn(wvec_bc.value) if wvec_bc is not None else None
+    evecs = {
+        int(r.entity_id): spec.centroid(list(r.context_vocab), vec_fn)
+        for r in ents.itertuples(index=False)
+    }
+    redirect_pairs = [
+        (int(e), int(t))
+        for e, t in zip(ents["entity_id"], ents["redirect_to"])
+        if pd.notna(t)
+    ]
+    canon = canonicalize.union_find_mapping(ents["entity_id"], redirect_pairs)
+    sc = spark.sparkContext
+    return sc.broadcast(gaz), sc.broadcast(evecs), sc.broadcast(canon)
+
+
 _MISSING = object()  # lr_context_matrix legitimately returns None
 
 # score-time default for a sense whose entity_id has no entities row:

@@ -191,8 +191,7 @@ def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("from_redirect"),
     )
     kb = {"entities": entities, "label_stats": label_stats}
-    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
-    canon_bc = canonicalize.canonical_map_broadcast(spark, entities)
+    gaz_bc, evec_bc, canon_bc = linking.build_kb_broadcasts(spark, kb)
     return linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc)
 
 
@@ -215,8 +214,7 @@ def kg07_triples_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grisp_spark.kg import canonicalize, linking
 
     conv, kb = _prior_corpus_kb(spark, sf_dir)
-    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
-    canon_bc = canonicalize.canonical_map_broadcast(spark, kb["entities"])
+    gaz_bc, evec_bc, canon_bc = linking.build_kb_broadcasts(spark, kb)
     return linking.link_and_extract(
         conv, gaz_bc, evec_bc, canon_bc, score_mode="prior"
     ).orderBy("conv_id", "turn_idx", "pred", "subj", "obj")

@@ -56,6 +56,24 @@ def test_adaptive_picks_shuffle_above_threshold(spark, corpus):
     assert _rows(small) == _rows(big)
 
 
+def test_fused_builder_matches_separate(spark, corpus):
+    """build_kb_broadcasts (one entities collection + driver-side
+    union-find) must produce the same gazetteer, vectors, and
+    canonical map as build_broadcasts + canonical_map_broadcast —
+    including over the datagen corpus's 2-3-hop redirect chains."""
+    conv, kb = corpus
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    canon_bc = canonicalize.canonical_map_broadcast(spark, kb["entities"])
+    g2, e2, c2 = linking.build_kb_broadcasts(spark, kb)
+    assert g2.value == gaz_bc.value
+    assert set(e2.value) == set(evec_bc.value)
+    assert all((e2.value[k] == evec_bc.value[k]).all() for k in e2.value)
+    assert c2.value == canon_bc.value
+    assert any(k != v for k, v in c2.value.items()), (
+        "corpus must exercise non-identity canonicalization"
+    )
+
+
 def test_adaptive_flip_actually_routes(spark, corpus, monkeypatch):
     """The threshold must really pick the implementation — a silent
     always-broadcast bug would still pass a rows-only comparison
