@@ -146,12 +146,18 @@ def main_bench() -> None:
         "bench", cores=CPUS,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    # absorb one-time session costs (JVM spin-up, codegen, Arrow/python
-    # worker init) with a synthetic job BEFORE timing — q01's number
-    # then measures q01, not SparkSession warm-up. spark.range touches
-    # no input data, so parquet stays as cold as it was.
+    # absorb one-time session costs BEFORE timing so q01 measures q01,
+    # not SparkSession warm-up: a JVM job (codegen, scheduler) AND a
+    # trivial mapInPandas (python-worker + Arrow channel spin-up —
+    # otherwise the first UDF-bearing query silently carries it).
+    # Both run on spark.range, so input parquet stays cold.
     _materialize(
         spark.range(1_000_000).selectExpr("id % 7 AS k").groupBy("k").count()
+    )
+    _materialize(
+        spark.range(100_000).repartition(CPUS).mapInPandas(
+            lambda it: it, "id long"
+        )
     )
     qs = entry_mod.queries()
     times: dict[str, float] = {}

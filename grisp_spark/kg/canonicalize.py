@@ -51,27 +51,15 @@ def canonical_map_broadcast(spark, entities: DataFrame):
 
 def union_find_mapping(entity_ids, redirect_pairs) -> dict[int, int]:
     """Driver-side twin of canonical_map over ALREADY-COLLECTED rows:
-    min-id union-find over the redirect pairs, identity elsewhere —
-    the same (id, component=min id) contract as
-    closure._driver_union_find, without re-scanning the entities
-    table. Used by linking.build_kb_broadcasts to derive the
-    canonical map from the single entities collection it already
-    holds."""
-    parent: dict[int, int] = {}
+    min-id union-find over the redirect pairs (the shared
+    closure.union_find_pairs core — one implementation for both
+    regimes), identity elsewhere. Used by linking.build_kb_broadcasts
+    to derive the canonical map from the single entities collection
+    it already holds."""
+    from grisp_spark.operators.closure import union_find_pairs
 
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for s, d in redirect_pairs:
-        ra, rb = find(int(s)), find(int(d))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    return {int(e): find(int(e)) if int(e) in parent else int(e) for e in entity_ids}
+    comp = union_find_pairs(redirect_pairs)
+    return {int(e): comp.get(int(e), int(e)) for e in entity_ids}
 
 
 def rewrite_linked(linked: DataFrame, canon: DataFrame) -> DataFrame:

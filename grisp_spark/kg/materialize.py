@@ -96,7 +96,8 @@ def global_counters(entities: DataFrame, conversations: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("_n"), F.max("ts").alias("_ts"))
         .agg(
             F.count("*").alias("conversation_count"),
-            F.sum("_n").alias("turn_count"),
+            # sum over zero groups is NULL; the counter contract is 0
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("turn_count"),
             F.max("_ts").cast("string").alias("last_ts"),
         )
     )

@@ -34,7 +34,10 @@ def occ_doc_agg(
         df.groupBy(*keys, doc_col)
         .agg(F.count("*").alias("_c"))
         .groupBy(*keys)
-        .agg(F.sum("_c").alias(occ), F.count("*").alias(doc))
+        # count(doc_col), not count(*): countDistinct excluded NULL
+        # docs, so the NULL-doc group must not count as a document
+        # (occ still includes its rows, matching the old count(*))
+        .agg(F.sum("_c").alias(occ), F.count(doc_col).alias(doc))
     )
 
 

@@ -234,10 +234,12 @@ def connected_components(
     return nodes
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Exact same (id, component) contract, computed on the driver."""
-    spark = edges.sparkSession
-    pdf = edges.select("src", "dst").toPandas()
+def union_find_pairs(pairs) -> dict[int, int]:
+    """Pure-python min-id union-find over (src, dst) pairs: the single
+    implementation behind both the driver-side CC regime here and the
+    fused-broadcast canonical map (canonicalize.union_find_mapping).
+    Returns {node: component} for every node that appears in a pair
+    (component = min id in the component)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -247,10 +249,18 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for s, d in zip(pdf["src"], pdf["dst"]):
+    for s, d in pairs:
         ra, rb = find(int(s)), find(int(d))
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
-    rows = [(n, find(n)) for n in sorted(parent)]
+    return {n: find(n) for n in parent}
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact same (id, component) contract, computed on the driver."""
+    spark = edges.sparkSession
+    pdf = edges.select("src", "dst").toPandas()
+    comp = union_find_pairs(zip(pdf["src"], pdf["dst"]))
+    rows = sorted(comp.items())
     return spark.createDataFrame(rows, "id long, component long")

@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 N_MINHASH = 8
@@ -237,12 +237,16 @@ def substring_window_pairs(
         )
         .distinct()
     )
-    rare = (
-        wins.groupBy("win")
-        .agg(F.count("*").alias("df"))
+    # df filter as a window count instead of an agg + semi-join: the
+    # expensive explode→md5→distinct subtree is consumed once, its
+    # win-keyed exchange feeds the window AND both self-join sides as
+    # ReusedExchange (the agg+semi-join shape re-ran the explode —
+    # CLAUDE.md round-1 gotcha about union/self-join branch recompute)
+    wins = (
+        wins.withColumn("df", F.count("*").over(W.partitionBy("win")))
         .filter(F.col("df") <= df_cap)
+        .drop("df")
     )
-    wins = wins.join(rare.select("win"), "win", "left_semi")
     a, b = wins.alias("a"), wins.alias("b")
     return (
         a.join(

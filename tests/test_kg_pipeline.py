@@ -411,3 +411,41 @@ def test_resume_after_midwrite_crash(spark, dataset, pipeline_result):
     )
     assert dups == 0
     assert _triples_set(result["triples"]) == baseline
+
+
+def test_occ_doc_agg_null_doc_parity(spark):
+    """The two-level occ/doc aggregate must reproduce
+    count(*) + countDistinct exactly, including NULL-doc rows:
+    countDistinct excludes NULLs from the doc count while occ counts
+    every row (round-4 review finding)."""
+    from pyspark.sql import functions as F
+
+    from grisp_spark.kg.stats import occ_doc_agg
+
+    df = spark.createDataFrame(
+        [("a", "c1"), ("a", "c1"), ("a", None), ("b", "c2")],
+        "surface string, conv_id string",
+    )
+    new = {
+        r.surface: (r.o, r.d)
+        for r in occ_doc_agg(df, ["surface"], "o", "d").collect()
+    }
+    old = {
+        r.surface: (r.o, r.d)
+        for r in df.groupBy("surface")
+        .agg(F.count("*").alias("o"), F.countDistinct("conv_id").alias("d"))
+        .collect()
+    }
+    assert new == old
+
+
+def test_global_counters_empty_input(spark):
+    """sum over zero groups is NULL — the counter contract is the
+    string '0' (stats.csv consumers parse ints)."""
+    from grisp_spark.kg.materialize import global_counters
+
+    ents = spark.createDataFrame([], "entity_id long, entity_type string")
+    conv = spark.createDataFrame([], "conv_id string, turn_idx int, ts timestamp")
+    rows = {r.name: r.value for r in global_counters(ents, conv).collect()}
+    assert rows["turn_count"] == "0"
+    assert rows["conversation_count"] == "0"
