@@ -38,16 +38,15 @@ from grisp_spark import (  # noqa: E402
 # they certify LabelSensesStep/LabelOccurrencesStep/PageLabelStep/
 # PageLinkSummaryStep parity and the end-to-end DuckDB replay), the
 # round-3-rewritten mm01-mm04 header parsers, ta03/ta04 (rotated out
-# in r3), and the round-4-new dd10/ta08/ss05/ta09/q41. Rotated OUT to
+# in r3), and the round-4-new dd10/ta08/ss05/ta09/ta10/q41. Rotated OUT to
 # make room — all driver-green in r3 AND locally oracle-checked every
-# session, operators exercised elsewhere: q05, q06, q10, q11, q12,
+# session, operators exercised elsewhere: q04, q05, q06, q10, q11, q12,
 # q14, q15, q16, q17, q18, q20-q25, dd06 (demoted baseline), ss02/
 # ss03 (LSH/IVF machinery covered by ss04 + dd07/dd08).
 DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary",
     "q02_global_counters",
     "q03_broadcast_dim_join",
-    "q04_semi_join",
     "q07_is_primary_topk",
     "q08_adjacency_out",
     "q09_sessionize",
@@ -90,6 +89,7 @@ DRIVER_WINDOW: list[str] = [
     "ta07_corpus_pipeline",
     "ta08_repetition",
     "ta09_tfidf_topk",
+    "ta10_context_chunks",
     "mm01_decode_metadata",
     "mm02_sample_frames",
     "mm03_extract_features",

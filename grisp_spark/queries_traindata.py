@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grisp_spark.operators import corpus, dedup, multimodal, similarity, textstats
-from grisp_spark.sources.testdata import load_table
+from grisp_spark.sources.testdata import DERIVE_CONVERSATIONS_SQL, load_table
 
 
 def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,6 +824,67 @@ ORACLES["ta09_tfidf_topk"] = r"""
     SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
            tfidf, CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+CHUNK_TURNS = 4
+CHUNK_STRIDE = 2
+
+
+def ta10_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking over transcripts — the step
+    that turns a conversation into overlapping training samples
+    (window of CHUNK_TURNS turns, stride CHUNK_STRIDE, clipped tail).
+    Map-only after the per-conv grouping: turns collect once per conv
+    (array_sort on (turn_idx, text) structs — deterministic without a
+    window), chunk starts come from an in-row sequence, slices clip
+    at the array end. At 100 TB this is one shuffle on conv_id —
+    which the KG layout stage already provides, so in the pipeline
+    the chunker is co-partitioned and shuffle-free."""
+    from grisp_spark.sources.testdata import derive_conversations
+
+    conv = derive_conversations(spark, sf_dir)
+    t = conv.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+            lambda s: s.text,
+        ).alias("turns")
+    )
+    chunks = t.select(
+        "conv_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("turns") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_start"),
+        "turns",
+    ).select(
+        "conv_id",
+        "chunk_start",
+        F.slice(F.col("turns"), F.col("chunk_start") + 1, CHUNK_TURNS).alias(
+            "chunk"
+        ),
+    )
+    return chunks.select(
+        "conv_id",
+        "chunk_start",
+        F.size("chunk").alias("n_turns"),
+        F.array_join("chunk", "\n").alias("text"),
+    ).orderBy("conv_id", "chunk_start")
+
+
+ORACLES["ta10_context_chunks"] = f"""
+    WITH conv AS ({DERIVE_CONVERSATIONS_SQL}),
+    t AS (
+        SELECT conv_id, list(text ORDER BY turn_idx) AS turns
+        FROM conv GROUP BY conv_id
+    ),
+    chunks AS (
+        SELECT conv_id, i AS chunk_start,
+               turns[i + 1 : least(i + {CHUNK_TURNS}, len(turns))] AS chunk
+        FROM t, UNNEST(range(0, len(turns), {CHUNK_STRIDE})) s(i)
+    )
+    SELECT conv_id, CAST(chunk_start AS INTEGER) AS chunk_start,
+           CAST(len(chunk) AS INTEGER) AS n_turns,
+           array_to_string(chunk, chr(10)) AS text
+    FROM chunks ORDER BY conv_id, chunk_start
 """
 
 QUERIES = {

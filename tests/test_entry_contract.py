@@ -78,7 +78,7 @@ def test_driver_window_covers_kg_spine_and_recent_rewrites():
         # r4-new operators — never had a driver row
         "dd10_substring_windows", "ta08_repetition",
         "ss05_cosine_topk_blocked", "ta09_tfidf_topk",
-        "q41_timeseries_rollup",
+        "q41_timeseries_rollup", "ta10_context_chunks",
     }
     assert must_run <= window, sorted(must_run - window)
 

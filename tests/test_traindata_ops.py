@@ -128,3 +128,38 @@ def test_ss05_no_corpus_join(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = physical_plan(similarity.topk_bruteforce_blocked(emb))
     assert "Join" not in plan, plan
+
+
+def test_context_chunks_window_stride_clip(spark):
+    """5 turns, window 4, stride 2 → starts 0/2/4 with tail clipping:
+    [t0..t3], [t2..t4], [t4]."""
+    from grisp_spark.queries_traindata import CHUNK_STRIDE, CHUNK_TURNS
+
+    assert (CHUNK_TURNS, CHUNK_STRIDE) == (4, 2)
+    conv = spark.createDataFrame(
+        [("c", i, f"t{i}") for i in range(5)] + [("d", 0, "solo")],
+        "conv_id string, turn_idx int, text string",
+    )
+    from pyspark.sql import functions as F
+
+    t = conv.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+            lambda s: s.text,
+        ).alias("turns")
+    )
+    chunks = t.select(
+        "conv_id",
+        F.explode(F.sequence(F.lit(0), F.size("turns") - 1, F.lit(2))).alias("s"),
+        "turns",
+    ).select(
+        "conv_id", "s",
+        F.array_join(F.slice(F.col("turns"), F.col("s") + 1, 4), "\n").alias("x"),
+    )
+    got = {(r.conv_id, r.s): r.x for r in chunks.collect()}
+    assert got == {
+        ("c", 0): "t0\nt1\nt2\nt3",
+        ("c", 2): "t2\nt3\nt4",
+        ("c", 4): "t4",
+        ("d", 0): "solo",
+    }
