@@ -241,7 +241,8 @@ def substring_window_pairs(
     # expensive explode→md5→distinct subtree is consumed once, its
     # win-keyed exchange feeds the window AND both self-join sides as
     # ReusedExchange (the agg+semi-join shape re-ran the explode —
-    # CLAUDE.md round-1 gotcha about union/self-join branch recompute)
+    # same multi-consumer recompute pitfall kg/triples.py persists
+    # around)
     wins = (
         wins.withColumn("df", F.count("*").over(W.partitionBy("win")))
         .filter(F.col("df") <= df_cap)
