@@ -28,12 +28,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
 # scaling runs need the job big enough that per-core work dominates
-# the ~4s fixed cost (broadcast build + layout + scheduling); 500k
-# convs = 4.5M turns ≈ 70s at the local[2] leg. Bigger is fine too —
-# 1M convs measured FASTER per turn under the 32-split protocol
-# (BENCH/BASELINE.md r3 data-scaling note) — this is just the
-# smallest size whose measured legs sit far above the fixed cost
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "500000"))
+# the fixed cost (broadcast build + layout + scheduling). 1M convs =
+# 9M turns ≈ 2 min at the local[2] leg; raised from 500k in round 4
+# after the fused KB broadcast build CUT the fixed cost — serial
+# setup benefits the low-parallelism leg proportionally more, so at
+# 4.5M turns the ratio under-reads the kernel's scaling (0.801 on a
+# busy box) even though both legs got faster in absolute terms. The
+# 10^12-turn criterion is the per-core-work-dominated regime; 9M
+# turns approximates it better (and measured FASTER per turn than
+# 4.5M under the 32-split protocol, BENCH/BASELINE.md r3 note).
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "1000000"))
 # measured passes per leg in a scaling run; best-of reported (see
 # main_job) with every pass printed alongside
 SCALE_PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3"))
