@@ -261,3 +261,21 @@ def substring_window_pairs(
         .agg(F.count("*").alias("shared_windows"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def incremental_dedup(new_docs: DataFrame, existing_docs: DataFrame) -> DataFrame:
+    """Cross-snapshot ingestion dedup: drop incoming docs whose
+    content hash already exists in the reference corpus (left-anti on
+    md5 — at scale the reference side is a bucketed hash table and the
+    join colocates on the hash), then exact-dedup within the batch
+    (min-id keeper + duplicate count). The incremental complement of
+    exact_dedup: a re-crawl batch joins against yesterday's corpus
+    instead of re-hashing it."""
+    ex = existing_docs.select(F.md5("text").alias("text_hash")).distinct()
+    inc = new_docs.select("doc_id", F.md5("text").alias("text_hash"))
+    fresh = inc.join(ex, "text_hash", "left_anti")
+    return (
+        fresh.groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("batch_dupes"))
+        .orderBy("keeper")
+    )

@@ -826,6 +826,40 @@ ORACLES["ta09_tfidf_topk"] = r"""
     FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
+def dd11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot ingestion dedup: yesterday's corpus is
+    doc_id < 250; the incoming batch is doc_id >= 250 plus a
+    deterministic re-crawl of every 7th existing doc — the re-crawls
+    must drop in the anti-join, the genuinely-new docs survive."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") < 250)
+    incoming = docs.filter(F.col("doc_id") >= 250).unionByName(
+        docs.filter((F.col("doc_id") < 250) & (F.col("doc_id") % 7 == 0))
+    )
+    return dedup.incremental_dedup(incoming, existing)
+
+
+ORACLES["dd11_incremental_dedup"] = """
+    WITH existing AS (
+        SELECT DISTINCT md5(text) AS text_hash FROM documents
+        WHERE doc_id < 250
+    ),
+    incoming AS (
+        SELECT doc_id, md5(text) AS text_hash FROM documents
+        WHERE doc_id >= 250
+        UNION ALL
+        SELECT doc_id, md5(text) FROM documents
+        WHERE doc_id < 250 AND doc_id % 7 = 0
+    ),
+    fresh AS (
+        SELECT * FROM incoming
+        WHERE text_hash NOT IN (SELECT text_hash FROM existing)
+    )
+    SELECT text_hash, min(doc_id) AS keeper, count(*) AS batch_dupes
+    FROM fresh GROUP BY text_hash ORDER BY keeper
+"""
+
+
 CHUNK_TURNS = 4
 CHUNK_STRIDE = 2
 

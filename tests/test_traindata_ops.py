@@ -163,3 +163,26 @@ def test_context_chunks_window_stride_clip(spark):
         ("c", 4): "t4",
         ("d", 0): "solo",
     }
+
+
+def test_incremental_dedup_planted(spark):
+    """Re-crawled doc drops in the anti-join; a batch-internal dup
+    collapses to the min-id keeper with its count."""
+    existing = spark.createDataFrame(
+        [(1, "old news"), (2, "evergreen page")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "evergreen page"),   # re-crawl → dropped
+            (11, "fresh story"),
+            (12, "fresh story"),      # batch-internal dup
+            (13, "another new one"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.keeper: r.batch_dupes
+        for r in dedup.incremental_dedup(incoming, existing).collect()
+    }
+    assert rows == {11: 2, 13: 1}
