@@ -77,14 +77,11 @@ def load_word_vectors(spark: SparkSession, vectors: DataFrame):
     return spark.sparkContext.broadcast(wv)
 
 
-def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=None):
-    """Collect the (small) KB side to the driver and broadcast it —
-    the Spark analogue of the reference driver building LMDB caches
-    between jobs (DumpExtractor.java:253-273,302-344). At real scale
-    label_stats is itself a pipeline output (stats.py) and this stays
-    a broadcast as long as it fits (AQE would pick broadcast for the
-    equivalent join anyway); beyond that, flip to a shuffle join on
-    surface."""
+def _collect_gazetteer(kb: dict[str, DataFrame]) -> dict:
+    """label_stats → {surface: ordered senses}. The ONE gazetteer
+    build shared by build_broadcasts and build_kb_broadcasts (the two
+    previously duplicated it verbatim — fork risk on the shared
+    semantics)."""
     stats = (
         kb["label_stats"]
         .filter(F.length("label") < spec.MAX_LABEL_CHARS)
@@ -96,14 +93,30 @@ def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=None
         gaz.setdefault(r.label, []).append(
             (int(r.entity_id), int(r.link_occ), int(r.link_doc))
         )
-    gaz = {k: spec.order_senses(v) for k, v in gaz.items()}
+    return {k: spec.order_senses(v) for k, v in gaz.items()}
 
-    ents = kb["entities"].select("entity_id", "context_vocab").toPandas()
+
+def _evecs_from_ents(ents: pd.DataFrame, wvec_bc=None) -> dict:
+    """(entity_id, context_vocab) pandas frame → {id: centroid vector}
+    — shared by both broadcast builders."""
     vec_fn = spec.store_vec_fn(wvec_bc.value) if wvec_bc is not None else None
-    evecs = {
+    return {
         int(r.entity_id): spec.centroid(list(r.context_vocab), vec_fn)
         for r in ents.itertuples(index=False)
     }
+
+
+def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=None):
+    """Collect the (small) KB side to the driver and broadcast it —
+    the Spark analogue of the reference driver building LMDB caches
+    between jobs (DumpExtractor.java:253-273,302-344). At real scale
+    label_stats is itself a pipeline output (stats.py) and this stays
+    a broadcast as long as it fits (AQE would pick broadcast for the
+    equivalent join anyway); beyond that, flip to a shuffle join on
+    surface."""
+    gaz = _collect_gazetteer(kb)
+    ents = kb["entities"].select("entity_id", "context_vocab").toPandas()
+    evecs = _evecs_from_ents(ents, wvec_bc)
     sc = spark.sparkContext
     return sc.broadcast(gaz), sc.broadcast(evecs)
 
@@ -120,31 +133,22 @@ def build_kb_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=N
     callers — beyond BROADCAST_LABEL_LIMIT use the shuffle path."""
     from grisp_spark.kg import canonicalize
 
-    stats = (
-        kb["label_stats"]
-        .filter(F.length("label") < spec.MAX_LABEL_CHARS)
-        .select("label", "entity_id", "link_occ", "link_doc")
-        .toPandas()
-    )
-    gaz: dict[str, list[tuple[int, int, int]]] = {}
-    for r in stats.itertuples(index=False):
-        gaz.setdefault(r.label, []).append(
-            (int(r.entity_id), int(r.link_occ), int(r.link_doc))
-        )
-    gaz = {k: spec.order_senses(v) for k, v in gaz.items()}
-
+    gaz = _collect_gazetteer(kb)
+    # redirect_to rides to the driver as STRING: a nullable long
+    # column materializes in pandas as float64, and int(float) rounds
+    # ids above 2^53 (the xxhash64-style ids kg06 KBs use) — the
+    # string round-trip is lossless. entity_id itself is non-null and
+    # stays exact int64.
     ents = kb["entities"].select(
-        "entity_id", "context_vocab", "redirect_to"
+        "entity_id",
+        "context_vocab",
+        F.col("redirect_to").cast("string").alias("redirect_to"),
     ).toPandas()
-    vec_fn = spec.store_vec_fn(wvec_bc.value) if wvec_bc is not None else None
-    evecs = {
-        int(r.entity_id): spec.centroid(list(r.context_vocab), vec_fn)
-        for r in ents.itertuples(index=False)
-    }
+    evecs = _evecs_from_ents(ents, wvec_bc)
     redirect_pairs = [
         (int(e), int(t))
         for e, t in zip(ents["entity_id"], ents["redirect_to"])
-        if pd.notna(t)
+        if t is not None
     ]
     canon = canonicalize.union_find_mapping(ents["entity_id"], redirect_pairs)
     sc = spark.sparkContext
@@ -152,11 +156,6 @@ def build_kb_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=N
 
 
 _MISSING = object()  # lr_context_matrix legitimately returns None
-
-# score-time default for a sense whose entity_id has no entities row:
-# the zero vector (spec.centroid's empty-vocab result), matching the
-# shuffle path's left-join coalesce (linking_shuffle.py)
-_ZERO_EVEC = np.zeros(spec.EMBED_DIM, dtype=np.float32)
 
 # Executor-local packed entity-vector matrix, keyed by the evec
 # broadcast id (same rationale as _IDX_CACHE).
@@ -484,7 +483,7 @@ def _score_senses(senses, tokens, begin, end, evecs, score_mode, ctx_cache, vec_
                 spec.score_candidate(
                     occ / total if total else 0.0,
                     spec.lr_score_from_matrix(
-                        mat, evecs.get(eid, _ZERO_EVEC)
+                        mat, spec.entity_vec(evecs, eid)
                     ),
                     "lr",
                 ),
@@ -504,7 +503,7 @@ def _score_senses(senses, tokens, begin, end, evecs, score_mode, ctx_cache, vec_
             eid,
             spec.score_candidate(
                 occ / total if total else 0.0,
-                spec.cosine(ctx, evecs.get(eid, _ZERO_EVEC)),
+                spec.cosine(ctx, spec.entity_vec(evecs, eid)),
                 "centroid",
             ),
         )

@@ -43,9 +43,14 @@ def build_gazetteer(kb: dict[str, pd.DataFrame]) -> dict[str, list[tuple[int, in
 def canonical_map(kb: dict[str, pd.DataFrame]) -> dict[int, int]:
     """Connected components over redirect equivalence edges; canonical
     = min entity_id in component. Union-find (the oracle's stand-in for
-    the distributed pointer-jumping loop)."""
+    the distributed pointer-jumping loop). A redirect target with no
+    entities row still participates as a CC node (it can be the min-id
+    canonical) but is NOT a key of the returned map — mirroring the
+    Spark path, where connected_components sees every edge endpoint
+    and the map joins back onto entities.entity_id only."""
     ents = kb["entities"]
-    parent: dict[int, int] = {int(e): int(e) for e in ents.entity_id}
+    ids = [int(e) for e in ents.entity_id]
+    parent: dict[int, int] = {e: e for e in ids}
 
     def find(x: int) -> int:
         while parent[x] != x:
@@ -61,8 +66,10 @@ def canonical_map(kb: dict[str, pd.DataFrame]) -> dict[int, int]:
 
     for r in ents.itertuples(index=False):
         if pd.notna(r.redirect_to):
-            union(int(r.entity_id), int(r.redirect_to))
-    return {e: find(e) for e in parent}
+            t = int(r.redirect_to)
+            parent.setdefault(t, t)
+            union(int(r.entity_id), t)
+    return {e: find(e) for e in ids}
 
 
 def entity_vectors(
@@ -122,15 +129,20 @@ def run_oracle(
                 if score_mode == "prior":
                     ctx_score = 0.0
                 elif score_mode == "lr":
-                    ctx_score = spec.lr_context_score(ctx_words, evecs[eid], vec_fn)
+                    ctx_score = spec.lr_context_score(
+                        ctx_words, spec.entity_vec(evecs, eid), vec_fn
+                    )
                 else:
-                    ctx_score = spec.cosine(ctx, evecs[eid])
+                    ctx_score = spec.cosine(ctx, spec.entity_vec(evecs, eid))
                 cands.append((eid, spec.score_candidate(prior, ctx_score, score_mode)))
             picked = spec.pick_sense(cands)
             if picked is None:
                 continue
             eid, score = picked
-            ceid = canon[eid]
+            # identity default for a linked entity with no entities
+            # row — same as the fused path's canon.get(eid, eid) and
+            # the staged path's left-join coalesce(canonical, entity)
+            ceid = canon.get(eid, eid)
             linked_rows.append(
                 (row.conv_id, row.turn_idx, begin, end, surface, eid, ceid, score)
             )

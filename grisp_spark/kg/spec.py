@@ -290,6 +290,21 @@ def lr_context_score(
     return lr_score_from_matrix(lr_context_matrix(ctx_words, vec_fn), entity_vec)
 
 
+ZERO_VEC = np.zeros(EMBED_DIM, dtype=np.float32)
+
+
+def entity_vec(evecs: dict, eid: int):
+    """Entity vector with the referential-integrity default: a sense
+    whose entity_id has no entities row scores with the ZERO vector
+    (centroid()'s empty-vocab result). The ONE definition shared by
+    every scoring path — broadcast kernel (_evec_pack's trailing zero
+    row gathers to this value), shuffle path (left-join + coalesce to
+    the zero array), streaming state kernel, and the oracle — so a
+    KB with dangling entity_ids cannot fork the semantics."""
+    v = evecs.get(eid)
+    return v if v is not None else ZERO_VEC
+
+
 def cosine(a: np.ndarray, b: np.ndarray) -> float:
     """LinearAlgebra.java:20-37 inner product on unit vectors —
     single-row wrapper of cosine_batch (identical float ops)."""

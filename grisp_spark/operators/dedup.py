@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_MINHASH = 8
@@ -237,17 +237,30 @@ def substring_window_pairs(
         )
         .distinct()
     )
-    # df filter as a window count instead of an agg + semi-join: the
-    # expensive explode→md5→distinct subtree is consumed once, its
-    # win-keyed exchange feeds the window AND both self-join sides as
-    # ReusedExchange (the agg+semi-join shape re-ran the explode —
-    # same multi-consumer recompute pitfall kg/triples.py persists
-    # around)
-    wins = (
-        wins.withColumn("df", F.count("*").over(W.partitionBy("win")))
-        .filter(F.col("df") <= df_cap)
-        .drop("df")
+    # df filter via count-agg + BROADCAST anti-join on the hot set,
+    # not a window count: `count(*) over (partition by win)` routed
+    # every (doc, win) row of a hot key into ONE task — exactly the
+    # boilerplate/license windows the cap exists to drop (a window in
+    # 10M docs = 10M rows in one task, no map-side compression, and
+    # AQE skew-split does not apply to window functions). The groupBy
+    # count is skew-safe by construction (hash-agg partially
+    # aggregates each key map-side, so the reduce side sees ≤
+    # n_partitions rows per key — the "salted two-phase" shape for
+    # free), and the hot set it yields is tiny by definition
+    # (≤ total_windows / df_cap keys can exceed the cap), so the
+    # anti-join broadcasts: the corpus-sized wins frame is filtered
+    # map-side with NO shuffle. Cost: the explode→md5→distinct
+    # subtree is evaluated once for the hot-set agg and once for the
+    # self-join input (whose two aliases share one ReusedExchange) —
+    # both map-parallel linear passes, vs. the window shape's
+    # single-task hot-key funnel.
+    hot = (
+        wins.groupBy("win")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("win")
     )
+    wins = wins.join(F.broadcast(hot), "win", "left_anti")
     a, b = wins.alias("a"), wins.alias("b")
     return (
         a.join(

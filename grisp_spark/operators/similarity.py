@@ -394,6 +394,11 @@ def topk_bruteforce_blocked(
         (int(r.vec_id), np.asarray(r.embedding, dtype=np.float64))
         for r in sorted(qrows, key=lambda r: r.vec_id)
     ]
+    for qid, qv in q_list:
+        if qv.shape[0] != dim:
+            raise ValueError(
+                f"query {qid} has dim {qv.shape[0]}, expected {dim}"
+            )
 
     def _seq_dot_mat(C: np.ndarray, v: np.ndarray) -> np.ndarray:
         acc = C[:, 0] * v[0]
@@ -411,6 +416,10 @@ def topk_bruteforce_blocked(
             if not len(pdf):
                 continue
             C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if C.shape[1] != dim:
+                raise ValueError(
+                    f"embedding dim {C.shape[1]} != declared dim {dim}"
+                )
             c_ids = pdf["vec_id"].to_numpy()
             # c_norm = sqrt(seq-dot(c, c)), same order as the UDF
             acc = C[:, 0] * C[:, 0]

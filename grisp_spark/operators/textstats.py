@@ -150,9 +150,17 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "tfidf", F.col("tf") * F.lit(n_docs) / F.col("df")
+    # corpus size N rides INSIDE the plan as a broadcast 1-row agg
+    # (a BroadcastNestedLoopJoin whose build side is one row — a
+    # map-side scalar attach, zero shuffle): the previous eager
+    # docs.count() at construction time was a separate full-corpus
+    # job per invocation — an extra 100 TB scan before the real plan
+    # even started.
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.col("n_docs") / F.col("df"))
     )
     w = W.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

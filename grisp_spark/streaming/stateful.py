@@ -81,7 +81,7 @@ def make_processor(gaz_bc, evec_bc, canon_bc):
                             eid,
                             spec.score_candidate(
                                 occ / total if total else 0.0,
-                                spec.cosine(ctx, evecs[eid]),
+                                spec.cosine(ctx, spec.entity_vec(evecs, eid)),
                             ),
                         )
                         for eid, occ, _doc in senses

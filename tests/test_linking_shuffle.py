@@ -124,6 +124,77 @@ def test_dangling_entity_parity(spark, corpus, score_mode):
     # the dangling senses must still be linkable (zero-vec score, not
     # dropped): entity 0 must appear if it wins any mention
     assert shuffle_rows == broadcast_rows
+    # the ORACLE (intended-semantics definition) must agree as well:
+    # spec.entity_vec is the one zero-vector default shared by all
+    # scoring paths (ADVICE r4 — oracle previously KeyError-ed here)
+    from grisp_spark.kg import oracle
+
+    kb_pdf = {n: df.toPandas() for n, df in dirty.items()}
+    ora = oracle.run_oracle(conv.toPandas(), kb_pdf, score_mode)
+    oracle_rows = sorted(
+        (r.conv_id, int(r.turn_idx), int(r.begin), int(r.end), r.surface,
+         int(r.entity_id), float(r.score))
+        for r in ora["linked"].itertuples(index=False)
+    )
+    spark_reduced = sorted(
+        (t[0], t[1], t[3], t[4], t[5], t[6], t[7]) for t in broadcast_rows
+    )
+    assert spark_reduced == oracle_rows
+
+
+def test_kb_broadcasts_ids_above_2_53(spark):
+    """Redirect ids above 2^53: a nullable long column materializes in
+    pandas as float64, and int(float) silently rounds — the canonical
+    map must come back exact (ADVICE r4 linking.py:144; the string-cast
+    collect is the lossless path)."""
+    big = (1 << 60) + 1  # not float64-representable (rounds to 2^60)
+    ents = spark.createDataFrame(
+        [
+            (big + 3, ["alpha"], big + 1),
+            (big + 1, ["beta"], None),
+            (7, ["gamma"], None),
+        ],
+        "entity_id long, context_vocab array<string>, redirect_to long",
+    )
+    stats = spark.createDataFrame(
+        [("Gamma", 7, 3, 2)],
+        "label string, entity_id long, link_occ long, link_doc long",
+    )
+    kb = {"entities": ents, "label_stats": stats}
+    _g, e2, c2 = linking.build_kb_broadcasts(spark, kb)
+    assert c2.value[big + 3] == big + 1
+    assert c2.value[big + 1] == big + 1
+    assert c2.value[7] == 7
+    assert set(e2.value) == {big + 3, big + 1, 7}
+    # exact agreement with the Spark-side (never-float) canonical map
+    assert c2.value == canonicalize.canonical_map_broadcast(spark, ents).value
+
+
+def test_adaptive_flip_triples_parity(spark, corpus):
+    """Both sides of the flip threshold through the FULL downstream
+    pipeline: canonicalize → triples identical whichever linking plan
+    the adaptive picker routes to (r3 VERDICT #5 / r4 #6 — the KB
+    forced over the limit must take the shuffle path and still produce
+    the same triples)."""
+    from grisp_spark.kg.triples import extract_triples
+
+    conv, kb = corpus
+    canon = canonicalize.canonical_map(kb["entities"])
+
+    def triples(limit):
+        linked = linking_shuffle.link_mentions_adaptive(
+            conv, kb, 8, "centroid", broadcast_label_limit=limit
+        )
+        return sorted(
+            tuple(r)
+            for r in extract_triples(canonicalize.rewrite_linked(linked, canon))
+            .select("conv_id", "turn_idx", "subj", "pred", "obj")
+            .collect()
+        )
+
+    below, above = triples(10**9), triples(0)
+    assert below, "flip parity needs non-empty triples"
+    assert below == above
 
 
 def test_no_broadcast_of_kb_above_threshold(spark, corpus):

@@ -46,6 +46,35 @@ def test_substring_join_is_equi(spark, planted):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_substring_df_filter_skew_safe(spark):
+    """The hot-window df cap must NOT be a window function partitioned
+    by `win` — that funnels every row of a hot key (the boilerplate
+    blocks the cap exists to drop) into one task at corpus scale
+    (VERDICT r4 #3). The skew-safe shape: map-side-partial count agg →
+    tiny hot set → BROADCAST anti-join (wins filtered map-side, no
+    shuffle). A corpus where one window appears in EVERY doc must
+    still drop it under the cap."""
+    docs = spark.createDataFrame(
+        [
+            (i, "common boiler plate header tokens one two three "
+                + f"unique{i} " * 8)
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    df = dedup.substring_window_pairs(docs, window=8, df_cap=10)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan  # no per-key single-task funnel
+    assert "BroadcastExchange" in plan, plan  # hot set broadcasts
+    # the shared header window (df=20 > cap) is dropped; the per-doc
+    # unique tails share nothing → no surviving pairs
+    assert df.count() == 0
+    # and with the cap above df, the header window pairs every doc
+    assert (
+        dedup.substring_window_pairs(docs, window=8, df_cap=50).count() > 0
+    )
+
+
 def test_repetition_metrics_values(spark):
     docs = spark.createDataFrame(
         [(1, "a a a b"), (2, "x"), (3, "")],
@@ -103,6 +132,22 @@ def test_tfidf_topk_values(spark):
         (3, "dog", 2, 2, 3.0, 1),
         (3, "the", 1, 3, 1.0, 2),
     ]
+
+
+def test_tfidf_construction_runs_no_job(spark):
+    """Corpus size N must ride inside the plan (broadcast 1-row agg),
+    not an eager docs.count() at construction time — that was a
+    separate full-corpus scan per invocation (VERDICT r4 #4)."""
+    from grisp_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the"), (2, "the dog")], "doc_id long, text string"
+    )
+    dag = spark.sparkContext._jsc.sc().dagScheduler()
+    before = dag.numTotalJobs()
+    df = tfidf_topk(docs, k=1)
+    assert dag.numTotalJobs() == before, "plan construction ran a Spark job"
+    assert df.count() == 2  # still evaluates correctly afterwards
 
 
 def test_ss05_matches_ss01_rows(spark, sf_dir):
