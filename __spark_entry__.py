@@ -33,31 +33,37 @@ from grisp_spark import (  # noqa: E402
     queries_traindata,
 )
 
-# The 50 checks the driver evaluates this round, in order. Round-4
-# priorities (VERDICT r3 #1): the KG spine q32-q39 (never driver-run —
-# they certify LabelSensesStep/LabelOccurrencesStep/PageLabelStep/
-# PageLinkSummaryStep parity and the end-to-end DuckDB replay), the
-# round-3-rewritten mm01-mm04 header parsers, ta03/ta04 (rotated out
-# in r3), and the round-4-new dd10/ta08/ss05/ta09/ta10/q41. Rotated OUT to
-# make room — all driver-green in r3 AND locally oracle-checked every
-# session, operators exercised elsewhere: q04, q05, q06, q10, q11, q12,
-# q14, q15, q16, q17, q18, q20-q25, dd06 (demoted baseline), ss02/
-# ss03 (LSH/IVF machinery covered by ss04 + dd07/dd08).
+# The 50 checks the driver evaluates this round, in order. Round-5
+# priorities (VERDICT r4 #2/#5): the flagship q37 now carries a full
+# DuckDB hash oracle (centroid scoring replayed in SQL) and q42 adds
+# float-level score certification; dd11 enters per the new-query
+# policy; 10 of the 20 r3-rotated rows return (q04-q06, q10-q12,
+# q14-q17). The KG spine q32-q41, every dd/ss/ta row whose implementing
+# module changed this round (dedup/textstats/similarity/linking/spec),
+# stays in. Rotated OUT — all green r4 on modules untouched in r5:
+# q26-q31 (backbone + sources), mm01-mm04 (multimodal parsers),
+# ta05/ta06 (corpus sampling/packing; ta07 keeps the composite
+# pipeline in-window). Due back by r6: q18, q20-q25, dd06, ss02, ss03;
+# by r7: the rows rotated out this round.
 DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary",
     "q02_global_counters",
     "q03_broadcast_dim_join",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_full_outer_merge",
     "q07_is_primary_topk",
     "q08_adjacency_out",
     "q09_sessionize",
+    "q10_distinct_pairs",
+    "q11_title_normalize",
+    "q12_json_extract",
     "q13_redirect_closure",
+    "q14_classify",
+    "q15_props_map",
+    "q16_salted_stats",
+    "q17_set_ops",
     "q19_asof_join",
-    "q26_wikidata_backbone",
-    "q27_translations",
-    "q28_xml_page_scan",
-    "q29_tql_scan",
-    "q30_wiki_links",
-    "q31_disambig_senses",
     "q32_kg_label_stats",
     "q33_kg_label_senses",
     "q34_kg_entity_labels",
@@ -68,6 +74,7 @@ DRIVER_WINDOW: list[str] = [
     "q39_triples_prior_shuffle",
     "q40_tree_depth",
     "q41_timeseries_rollup",
+    "q42_kg_linked_centroid",
     "dd01_exact_dedup",
     "dd02_minhash_signatures",
     "dd03_minhash_lsh_pairs",
@@ -77,6 +84,7 @@ DRIVER_WINDOW: list[str] = [
     "dd08_embed_neardup_lsh_multi",
     "dd09_dedup_survivors",
     "dd10_substring_windows",
+    "dd11_incremental_dedup",
     "ss01_cosine_topk",
     "ss04_ivf_ann_multiprobe",
     "ss05_cosine_topk_blocked",
@@ -84,16 +92,10 @@ DRIVER_WINDOW: list[str] = [
     "ta02_quality",
     "ta03_token_counts",
     "ta04_fingerprint",
-    "ta05_stratified_sample",
-    "ta06_pack_sequences",
     "ta07_corpus_pipeline",
     "ta08_repetition",
     "ta09_tfidf_topk",
     "ta10_context_chunks",
-    "mm01_decode_metadata",
-    "mm02_sample_frames",
-    "mm03_extract_features",
-    "mm04_resize",
 ]
 
 

@@ -155,15 +155,26 @@ def detect_mentions_pruned(
 
 
 def word_vec(word: str) -> np.ndarray:
-    """Deterministic pseudo-embedding: 32-dim unit vector seeded from
-    md5(word). A stand-in for word2vec with the exact consumption shape
-    of the reference's quantized vectors (Word2VecCompress.java:45-52);
-    swap for real vectors in production."""
-    h = hashlib.md5(word.lower().encode("utf-8")).digest()
-    seed = int.from_bytes(h[:8], "little")
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(EMBED_DIM)
-    nrm = np.linalg.norm(v)
+    """Deterministic pseudo-embedding: 32-dim unit vector from the 32
+    hex NIBBLES of md5(lower(word)) — dim d is (nibble_d − 7.5)/8,
+    normalized with the dimension-sequential norm chain. A stand-in
+    for word2vec with the exact consumption shape of the reference's
+    quantized vectors (Word2VecCompress.java:45-52); swap for real
+    vectors in production. Every step (md5 hex, the exact binary
+    fractions (2k−15)/16, the left-assoc norm chain, one float32
+    rounding) is reproducible in ANSI SQL, which is what lets the
+    flagship centroid-mode pipeline carry a DuckDB hash oracle —
+    the previous PCG64-seeded gaussian was engine-private."""
+    h = np.frombuffer(
+        hashlib.md5(word.lower().encode("utf-8")).digest(), dtype=np.uint8
+    )
+    nib = np.empty(EMBED_DIM, dtype=np.float64)
+    nib[0::2] = h >> 4
+    nib[1::2] = h & 15
+    v = (nib - 7.5) / 8.0  # exact float64 (and float32) values
+    nrm = float(np.sqrt(seq_dot_rows(v[None, :], v[None, :])[0]))
+    if nrm == 0.0:
+        return np.zeros(EMBED_DIM, dtype=np.float32)
     return (v / nrm).astype(np.float32)
 
 
@@ -201,14 +212,49 @@ def seq_dot_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return acc
 
 
+def seq_segment_sums(
+    W64: np.ndarray, starts: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Exact SEQUENTIAL (left-assoc) per-segment sums: segment s is
+    the fold W[starts[s]] + W[starts[s]+1] + … in index order — the
+    association an ordered SQL list fold (DuckDB list_reduce)
+    reproduces bit-for-bit. np.add.reduceat is pairwise/SIMD-ordered
+    (engine-private association), so it cannot anchor a cross-engine
+    oracle; np.cumsum IS sequential (pinned by test_spec), giving the
+    single-segment fast path. The multi-segment path iterates the
+    position-within-segment axis over length-descending segments, so
+    step i is one contiguous-prefix gather + elementwise add (acc =
+    acc + x, the fold step) and total flops stay Σ counts."""
+    starts = np.asarray(starts, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    n = len(starts)
+    if n == 1:
+        seg = W64[starts[0] : starts[0] + counts[0]]
+        return np.cumsum(seg, axis=0)[-1:]
+    d = W64.shape[1]
+    out = np.zeros((n, d), dtype=np.float64)
+    if n == 0 or int(counts.max()) == 0:
+        return out
+    order = np.argsort(-counts, kind="stable")
+    s_o = starts[order]
+    asc = np.sort(counts)
+    acc = np.zeros((n, d), dtype=np.float64)
+    for i in range(int(counts.max())):
+        k = n - int(np.searchsorted(asc, i, side="right"))
+        acc[:k] += W64[s_o[:k] + i]
+    out[order] = acc
+    return out
+
+
 def centroid_batch(W: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Normalized mean per segment of stacked word vectors ``W``
     (float32 or float64 in — float32→float64 embedding is exact, so
     callers may pre-convert to skip a copy; float32 out; float64
-    accumulation; empty segments are not representable — callers map
-    them to the zero vector)."""
+    accumulation in pinned sequential order — see seq_segment_sums;
+    empty segments are not representable — callers map them to the
+    zero vector)."""
     W64 = W.astype(np.float64, copy=False)
-    sums = np.add.reduceat(W64, starts, axis=0)
+    sums = seq_segment_sums(W64, starts, counts)
     m = sums / np.asarray(counts, dtype=np.float64)[:, None]
     nrm = np.sqrt(seq_dot_rows(m, m))
     safe = np.where(nrm > 0, nrm, 1.0)

@@ -7,7 +7,12 @@ kg02  label→sense statistics with O1 ordering (A2 + DumpExtractor.java:930-944
 kg03  isPrimary + per-sense label inversion (W1/A7: PageLabelStep.java:80-134)
 kg04  co-occurrence edge extraction per turn (LabelSensesStep.java:305-310)
 kg05  capped adjacency summaries (A5/O4: PageLinkSummaryStep.java:78-119)
-kg06  full KG pipeline flagship over derived transcripts (rows-only)
+kg06  full KG pipeline flagship over derived transcripts — HASH-
+      certified: centroid scoring replayed in DuckDB via md5-nibble
+      word vectors + pinned sequential folds (see spec.word_vec /
+      spec.seq_segment_sums and the generated oracle below)
+kg08  the flagship's linked mentions WITH scores — float-level
+      certification of the centroid/cosine kernels
 
 "Label" here is a unigram from the corpus's own vocabulary (the
 self-bootstrapped gazetteer, SURVEY.md §7 stage 3); "sense" is the
@@ -153,15 +158,18 @@ def kg05_adjacency_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full KG pipeline over derived transcripts with a
-    self-bootstrapped KB: gazetteer = frequent long tokens, entities
-    numbered by label order, priors from corpus counts, context
-    scoring + canonicalization + turn-window triples. Rows-only check
-    (numpy context scoring isn't SQL-expressible); every constituent
-    stage has its own oracle (kg01-kg05, q13)."""
-    from grisp_spark.kg import canonicalize, linking
+def _centroid_corpus_kb(spark: SparkSession, sf_dir: str):
+    """The kg06/kg08 shared setup: derived transcripts + the
+    self-bootstrapped centroid-mode KB (gazetteer = frequent long
+    space-split tokens, entities with context_vocab = [token] so the
+    entity vector is the renormalized word vector).
 
+    Entity ids are dense row_number over the AGGREGATED vocabulary
+    (same justification as kg07: hundreds of rows after the MIN_OCC
+    cut, so the single-partition window is not a scale concern) —
+    xxhash64 ids were dropped because the DuckDB replay has no
+    xxhash64, and dense ids are what let the flagship carry a hash
+    oracle at all."""
     conv = derive_conversations(spark, sf_dir)
     toks = _turn_tokens(conv).filter(F.length("token") >= 6)
     # cached: entities feed three consumers (two broadcast builds +
@@ -171,10 +179,8 @@ def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("occ") >= MIN_OCC)
         .cache()
     )
-    # deterministic hash ids — no global-ordering window (which would
-    # funnel the vocabulary through a single partition)
     entities = vocab.select(
-        F.xxhash64("token").alias("entity_id"),
+        F.row_number().over(W.orderBy("token")).cast("long").alias("entity_id"),
         F.initcap("token").alias("canonical_name"),
         F.lit("article").alias("entity_type"),
         F.array(F.col("token")).alias("context_vocab"),
@@ -190,9 +196,43 @@ def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("from_title"),
         F.lit(False).alias("from_redirect"),
     )
-    kb = {"entities": entities, "label_stats": label_stats}
+    return conv, {"entities": entities, "label_stats": label_stats}
+
+
+def kg06_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full KG pipeline over derived transcripts with a
+    self-bootstrapped KB: gazetteer = frequent long tokens, priors
+    from corpus counts, centroid context scoring + canonicalization +
+    turn-window triples. HASH-CERTIFIED against a full DuckDB replay:
+    spec.word_vec's md5-nibble vectors and the pinned sequential
+    summation order (spec.seq_segment_sums) make every float in the
+    centroid/cosine path reproducible in SQL — see the generated
+    oracle below. kg08 additionally certifies the raw linked-mention
+    scores (this query's triples certify detection + linking picks +
+    the turn-window extraction)."""
+    from grisp_spark.kg import linking
+
+    conv, kb = _centroid_corpus_kb(spark, sf_dir)
     gaz_bc, evec_bc, canon_bc = linking.build_kb_broadcasts(spark, kb)
-    return linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc)
+    return linking.link_and_extract(conv, gaz_bc, evec_bc, canon_bc).orderBy(
+        "conv_id", "turn_idx", "pred", "subj", "obj"
+    )
+
+
+def kg08_linked_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's linking stage with its SCORES in the output:
+    every centroid cosine + prior + argmax pick is hash-checked
+    against the DuckDB replay (float-level certification of the
+    context-scoring kernel, kg/linking.py::_pick_batch_centroid —
+    triples alone would only certify the picks)."""
+    from grisp_spark.kg import linking
+
+    conv, kb = _centroid_corpus_kb(spark, sf_dir)
+    gaz_bc, evec_bc, _canon_bc = linking.build_kb_broadcasts(spark, kb)
+    linked = linking.link_mentions(conv, gaz_bc, evec_bc)
+    return linked.select(
+        "conv_id", "turn_idx", "begin", "end", "surface", "entity_id", "score"
+    ).orderBy("conv_id", "turn_idx", "begin")
 
 
 def kg07_triples_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,7 +466,7 @@ ORACLES["kg07_triples_prior"] = f"""
                                   ORDER BY occ DESC, entity_id ASC) AS rn
         FROM ent
     ),
-    picked AS (SELECT label, canon_eid FROM pick WHERE rn = 1),
+    picked AS MATERIALIZED (SELECT label, canon_eid FROM pick WHERE rn = 1),
     matched AS (
         SELECT k.conv_id, k.turn_idx, p.canon_eid AS eid
         FROM keyed k JOIN picked p USING (label)
@@ -467,6 +507,222 @@ ORACLES["kg07_triples_prior"] = f"""
 
 ORACLES["q39_triples_prior_shuffle"] = ORACLES["kg07_triples_prior"]
 
+
+# --- centroid-mode flagship oracle (kg06 / kg08) ----------------------------
+# Full SQL replay of the centroid scoring path. Reproducibility rests
+# on three pinned contracts (each with its own test in test_spec):
+#   1. spec.word_vec = md5-nibble vectors: dim d is
+#      (strpos(hex, substr(md5(lower(w)), d, 1)) - 8.5)/8, normalized
+#      by the dimension-sequential norm chain, rounded once to float32
+#      (CAST AS FLOAT) — bit-identical in DuckDB and numpy.
+#   2. spec.seq_segment_sums = sequential left-assoc fold per segment,
+#      exactly DuckDB's list_reduce(ctx, (a,b) -> a+b).
+#   3. All dot/norm chains accumulate dimension-sequentially
+#      (spec.seq_dot_rows) = flat left-assoc SQL chains, the same
+#      technique as ss01's oracle (queries_traindata.py).
+
+
+def _wordvec_ctes(inner: str, keep: str) -> str:
+    """Subquery chain: ``inner`` (a SELECT providing column ``tok`` +
+    the ``keep`` passthrough columns) -> DOUBLE[] column ``vec``
+    holding spec.word_vec's float32 values: one md5 per row, nibble
+    list via an indexed transform, the dim-sequential norm fold, one
+    float32 rounding (CAST FLOAT) widened back to DOUBLE so downstream
+    folds accumulate in float64 like the numpy kernels."""
+    k = f"{keep}, " if keep else ""
+    return f"""(
+        SELECT {k}
+               list_transform(raw, x -> CAST(CAST(
+                   CASE WHEN wn > 0 THEN x / wn ELSE x END
+                   AS FLOAT) AS DOUBLE)) AS vec
+        FROM (
+            SELECT {k} raw,
+                   sqrt(list_reduce(list_transform(raw, x -> x * x),
+                                    (a, b) -> a + b)) AS wn
+            FROM (
+                SELECT {k}
+                       list_transform(generate_series(1, 32),
+                           d -> (strpos('0123456789abcdef',
+                                        substr(h, d, 1)) - 8.5) / 8) AS raw
+                FROM (SELECT {k} md5(lower(tok)) AS h FROM {inner})
+            )
+        )
+    )"""
+
+
+_SEQ_NORM = (
+    "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+)
+
+
+def _centroid_linking_ctes() -> str:
+    """Shared CTE block: corpus KB -> entity vectors -> per-turn word
+    vector lists -> mention context centroids -> scored candidates ->
+    picked links (mirrors _centroid_corpus_kb + link_mentions in
+    centroid mode, stage for stage). Everything vector-valued is a
+    DOUBLE[] list column and every accumulation is an ordered
+    list_reduce left fold — the exact association of
+    spec.seq_segment_sums / spec.seq_dot_rows (wide per-dim columns
+    were abandoned: DuckDB inlines single-use CTEs, and 32 columns
+    each embedding the md5+norm chain re-evaluated the whole vector
+    build per dimension)."""
+    wv_ent = _wordvec_ctes("ent0", "entity_id, label, occ")
+    wv_tok = _wordvec_ctes("(SELECT DISTINCT tok FROM tp)", "tok")
+    e_nrm = _SEQ_NORM.format(v="vec")
+    c_nrm = _SEQ_NORM.format(v="m")
+    return f"""
+    sp AS (
+        SELECT conv_id, t.tok AS tok
+        FROM conv, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(tok)
+        WHERE length(t.tok) >= 6
+    ),
+    vocab AS (
+        SELECT tok, count(*) AS occ, count(DISTINCT conv_id) AS doc
+        FROM sp GROUP BY tok HAVING count(*) >= {MIN_OCC}
+    ),
+    ent0 AS (
+        SELECT tok, occ,
+               CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS entity_id,
+               upper(tok[1]) || lower(tok[2:]) AS label
+        FROM vocab
+    ),
+    tot AS (SELECT label, sum(occ) AS tot FROM ent0 GROUP BY label),
+    evec AS (
+        -- centroid([token]): mean of ONE word vector (sum/1), the
+        -- dim-sequential norm, one more float32 rounding; nb is
+        -- cosine_batch's norm of that float32 evec
+        SELECT entity_id, label, occ,
+               list_transform(vec, x -> CAST(CAST(
+                   CASE WHEN {e_nrm} > 0 THEN x / {e_nrm} ELSE x END
+                   AS FLOAT) AS DOUBLE)) AS evec
+        FROM {wv_ent}
+    ),
+    evn AS (SELECT entity_id, label, occ, evec,
+                   {_SEQ_NORM.format(v="evec")} AS nb
+            FROM evec),
+    bt AS (
+        SELECT conv_id, turn_idx, role, tool,
+               regexp_extract_all(text, '{_TOKEN_PAT_SQL}') AS toks
+        FROM conv
+    ),
+    tp AS (
+        SELECT conv_id, turn_idx, g.p AS p, toks[g.p] AS tok
+        FROM bt, UNNEST(generate_series(1, len(toks))) g(p)
+    ),
+    wv AS ({wv_tok.strip()[1:-1]}),
+    tv AS (
+        SELECT conv_id, turn_idx, list(vec ORDER BY p) AS vs
+        FROM tp JOIN wv USING (tok) GROUP BY conv_id, turn_idx
+    ),
+    ment AS (
+        SELECT tp.conv_id, tp.turn_idx, tp.p,
+               upper(tp.tok[1]) || tp.tok[2:] AS label
+        FROM tp JOIN (SELECT DISTINCT label FROM ent0) lab
+          ON upper(tp.tok[1]) || tp.tok[2:] = lab.label
+    ),
+    mc AS (
+        SELECT m.conv_id, m.turn_idx, m.p, m.label,
+               list_concat(t.vs[1 : m.p - 1], t.vs[m.p + 1 : len(t.vs)]) AS ctx
+        FROM ment m JOIN tv t
+          ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+    ),
+    -- context centroid: sequential vector fold over the in-order
+    -- context (= the kernel's per-segment fold over the gathered
+    -- rows), mean, dim-sequential norm, one float32 rounding; an
+    -- empty context (cnt = 0) keeps cvec NULL -> cosine 0, the
+    -- kernel's zero-centroid path
+    csum AS (
+        SELECT conv_id, turn_idx, p, label, len(ctx) AS cnt,
+               CASE WHEN len(ctx) = 0 THEN NULL
+                    ELSE list_reduce(ctx, (a, b) ->
+                         list_transform(list_zip(a, b), z -> z[1] + z[2]))
+               END AS s
+        FROM mc
+    ),
+    cmean AS (
+        SELECT conv_id, turn_idx, p, label, cnt,
+               CASE WHEN cnt = 0 THEN NULL
+                    ELSE list_transform(s, x -> x / cnt) END AS m
+        FROM csum
+    ),
+    cent AS (
+        SELECT conv_id, turn_idx, p, label, cnt,
+               CASE WHEN cnt = 0 THEN NULL
+                    ELSE list_transform(m, x -> CAST(CAST(
+                         CASE WHEN {c_nrm} > 0 THEN x / {c_nrm} ELSE x END
+                         AS FLOAT) AS DOUBLE)) END AS cvec
+        FROM cmean
+    ),
+    cna AS (SELECT conv_id, turn_idx, p, label, cvec,
+                   CASE WHEN cvec IS NULL THEN 0
+                        ELSE {_SEQ_NORM.format(v="cvec")} END AS na
+            FROM cent),
+    scored AS (
+        SELECT c.conv_id, c.turn_idx, c.p, c.label, e.entity_id,
+               (0.6 * (e.occ / t.tot)) +
+               (0.4 * (CASE WHEN c.na * e.nb > 0
+                            THEN list_reduce(
+                                     list_transform(list_zip(c.cvec, e.evec),
+                                                    z -> z[1] * z[2]),
+                                     (a, b) -> a + b) / (c.na * e.nb)
+                            ELSE 0 END)) AS score
+        FROM cna c JOIN evn e USING (label) JOIN tot t ON t.label = c.label
+    ),
+    picked AS (
+        SELECT conv_id, turn_idx, p, label, entity_id, score,
+               row_number() OVER (PARTITION BY conv_id, turn_idx, p
+                                  ORDER BY score DESC, entity_id ASC) AS rn
+        FROM scored
+    )"""
+
+
+ORACLES["kg08_linked_centroid"] = f"""
+    {_BASE}, {_centroid_linking_ctes()}
+    SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+           CAST(p - 1 AS INTEGER) AS "begin", CAST(p AS INTEGER) AS "end",
+           label AS surface, entity_id, score
+    FROM picked WHERE rn = 1
+    ORDER BY conv_id, turn_idx, "begin"
+"""
+
+ORACLES["kg06_triples_flagship"] = f"""
+    {_BASE}, {_centroid_linking_ctes()},
+    matched AS (SELECT conv_id, turn_idx, entity_id AS eid
+                FROM picked WHERE rn = 1),
+    turn_sets AS (
+        SELECT conv_id, turn_idx, list_sort(list_distinct(list(eid))) AS cur
+        FROM matched GROUP BY conv_id, turn_idx
+    ),
+    allt AS (
+        SELECT c.conv_id, c.turn_idx, c.role, c.tool,
+               coalesce(t.cur, CAST([] AS BIGINT[])) AS cur
+        FROM conv c LEFT JOIN turn_sets t USING (conv_id, turn_idx)
+    ),
+    w AS (
+        SELECT conv_id, turn_idx, role, tool, cur,
+               coalesce(lag(cur) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                        CAST([] AS BIGINT[])) AS prev
+        FROM allt
+    ),
+    trip AS (
+        SELECT conv_id, turn_idx, t.e AS subj, 'mentioned_by' AS pred, role AS obj
+        FROM w, UNNEST(cur) t(e)
+        UNION ALL
+        SELECT conv_id, turn_idx, t.e AS subj, 'used_with_tool' AS pred, tool AS obj
+        FROM w, UNNEST(cur) t(e) WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id, turn_idx, a.e AS subj, 'co_occurs_with' AS pred,
+               CAST(b.e AS VARCHAR) AS obj
+        FROM w,
+             UNNEST(list_sort(list_distinct(cur || prev))) a(e),
+             UNNEST(list_sort(list_distinct(cur || prev))) b(e)
+        WHERE a.e < b.e AND (list_contains(cur, a.e) OR list_contains(cur, b.e))
+    )
+    SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+           CAST(subj AS BIGINT) AS subj, pred, obj
+    FROM trip ORDER BY conv_id, turn_idx, pred, subj, obj
+"""
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
@@ -486,8 +742,9 @@ DRIVER_ALIASES: dict[str, str] = {
     "q34_kg_entity_labels": "kg03_entity_labels",
     "q35_kg_cooccurrence_edges": "kg04_cooccurrence_edges",
     "q36_kg_adjacency_capped": "kg05_adjacency_capped",
-    "q37_kg_triples_flagship": "kg06_triples_flagship",  # rows-only
+    "q37_kg_triples_flagship": "kg06_triples_flagship",
     "q38_kg_triples_prior": "kg07_triples_prior",
+    "q42_kg_linked_centroid": "kg08_linked_centroid",
 }
 for _alias, _target in DRIVER_ALIASES.items():
     QUERIES[_alias] = QUERIES[_target]

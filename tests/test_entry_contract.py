@@ -62,23 +62,27 @@ def test_driver_window_is_first_50():
 
 
 def test_driver_window_covers_kg_spine_and_recent_rewrites():
-    """Round-4 rotation intent: the never-driver-run KG spine and the
-    queries whose kernels changed in r3 must face the driver."""
+    """Round-5 rotation intent: the KG spine (its spec/linking kernels
+    changed this round — word_vec + sequential folds), the newly
+    hash-certified flagship + its score twin, dd11 (new-query policy),
+    every dd/ss/ta row whose implementing module changed in r5, and
+    the 10 returning r3-rotated rows must face the driver."""
     window = set(entry_mod.DRIVER_WINDOW)
     must_run = {
-        # KG spine aliases — certify A2/A3/A5/A7 + end-to-end replay
+        # KG spine — spec.word_vec/seq_segment_sums changed this round
         "q32_kg_label_stats", "q33_kg_label_senses", "q34_kg_entity_labels",
         "q35_kg_cooccurrence_edges", "q36_kg_adjacency_capped",
         "q37_kg_triples_flagship", "q38_kg_triples_prior",
-        "q39_triples_prior_shuffle", "q40_tree_depth",
-        # r3 rewrites / rotated-out rows due back (VERDICT #2, #6)
-        "mm01_decode_metadata", "mm02_sample_frames",
-        "mm03_extract_features", "mm04_resize",
-        "ta03_token_counts", "ta04_fingerprint",
-        # r4-new operators — never had a driver row
-        "dd10_substring_windows", "ta08_repetition",
-        "ss05_cosine_topk_blocked", "ta09_tfidf_topk",
-        "q41_timeseries_rollup", "ta10_context_chunks",
+        "q39_triples_prior_shuffle",
+        # newly certified flagship scores + new incremental dedup
+        "q42_kg_linked_centroid", "dd11_incremental_dedup",
+        # modules changed in r5: dedup.py / textstats.py / similarity.py
+        "dd10_substring_windows", "ta09_tfidf_topk",
+        "ss05_cosine_topk_blocked", "ss01_cosine_topk",
+        # returning r3-rotated rows (ledger: due back by r6)
+        "q04_semi_join", "q05_anti_join", "q06_full_outer_merge",
+        "q10_distinct_pairs", "q11_title_normalize", "q12_json_extract",
+        "q14_classify", "q15_props_map", "q16_salted_stats", "q17_set_ops",
     }
     assert must_run <= window, sorted(must_run - window)
 

@@ -94,3 +94,56 @@ def test_centroid_empty_and_cosine_zero():
     z = spec.centroid([])
     assert float(np.linalg.norm(z)) == 0.0
     assert spec.cosine(z, spec.word_vec("x")) == 0.0
+
+
+def test_seq_segment_sums_is_left_fold():
+    """The segment sum must be the exact sequential left-assoc fold —
+    the association a SQL engine's ordered list_reduce reproduces.
+    (np.add.reduceat is pairwise and fails this for n >= 3.)"""
+    rng = np.random.default_rng(42)
+    W = rng.standard_normal((500, 32))
+    starts = np.array([0, 7, 7, 60, 499])
+    counts = np.array([7, 0, 53, 439, 1])
+    got = spec.seq_segment_sums(W, starts, counts)
+    for s, (st, c) in enumerate(zip(starts, counts)):
+        if c == 0:
+            exp = np.zeros(32)
+        else:
+            exp = W[st].copy()
+            for i in range(1, c):
+                exp = exp + W[st + i]
+        assert np.array_equal(got[s], exp), f"segment {s}"
+    # single-segment fast path (np.cumsum) — same fold
+    one = spec.seq_segment_sums(W, np.array([3]), np.array([200]))
+    exp = W[3].copy()
+    for i in range(1, 200):
+        exp = exp + W[3 + i]
+    assert np.array_equal(one[0], exp)
+
+
+def test_word_vec_sql_replayable():
+    """word_vec must be bit-reproducible from ANSI SQL (DuckDB): md5
+    nibbles -> (k-7.5)/8 -> dim-sequential norm chain -> divide ->
+    float32. This is the contract the flagship's DuckDB oracle rests
+    on."""
+    import duckdb
+
+    con = duckdb.connect()
+    hexp = "'0123456789abcdef'"
+    raw = [
+        f"(strpos({hexp}, substr(md5(lower(w)), {d}, 1)) - 8.5) / 8"
+        for d in range(1, 33)
+    ]
+    norm_chain = raw[0] + "*" + raw[0]
+    for t in raw[1:]:
+        norm_chain = f"({norm_chain}) + ({t})*({t})"
+    cols = ", ".join(
+        f"CAST(({t}) / sqrt({norm_chain}) AS FLOAT) AS v{d}"
+        for d, t in enumerate(raw, 1)
+    )
+    for word in ("server", "Spark", "QUARTZ", "x'y", "a-b_c"):
+        row = con.execute(
+            f"SELECT {cols} FROM (SELECT ? AS w)", [word]
+        ).fetchone()
+        got = spec.word_vec(word)
+        assert list(got) == list(row), word
