@@ -228,6 +228,81 @@ def topk_bruteforce(
     )
 
 
+KMEANS_SAMPLE = 4096
+KMEANS_ITERS = 8
+KMEANS_SEED = 13
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    sample_n: int = KMEANS_SAMPLE,
+    iters: int = KMEANS_ITERS,
+    seed: int = KMEANS_SEED,
+):
+    """Spherical k-means centroids from a deterministic corpus sample
+    — the real IVF training step (replaces the first-``n_cells``
+    stand-in; VERDICT r4 #8).
+
+    Sampling is a distributed top-``sample_n`` by xxhash64(vec_id,
+    seed) — TakeOrderedAndProject, no global sort shuffle, and the
+    same rows every run regardless of partitioning. Training runs on
+    the driver in numpy (k-means++ init from a seeded PCG64, Lloyd
+    iterations with argmax-cosine assignment, ties to the lowest cell,
+    empty cells keep their previous centroid) — deterministic end to
+    end, so the recall ladder stays pinned.
+
+    10^9-vector regime: centroid quality needs ~100-1000 samples per
+    cell, not a corpus fraction — sample_n = max(256·n_cells, 10^5)
+    collected to the driver is ~25 MB of float32 at dim 64 and the
+    Lloyd pass is O(sample_n · n_cells · dim · iters) ≈ seconds for
+    4096 cells; the corpus itself is touched only by the (map-side,
+    broadcast) assignment join, exactly like the head-centroid path.
+
+    Returns a list of (cid, [float, ...]) rows, unit-normalized.
+    """
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
+        .limit(sample_n)
+        .collect()
+    )
+    # stable training order independent of collection order
+    rows = sorted(rows, key=lambda r: r.vec_id)
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    nrm = np.linalg.norm(X, axis=1)
+    X = X[nrm > 0] / nrm[nrm > 0, None]
+    n = X.shape[0]
+    if n == 0:
+        raise ValueError("k-means sample is empty")
+    n_cells = min(n_cells, n)
+    rng = np.random.default_rng(seed)
+    # k-means++ (cosine distance = 1 - dot on unit vectors)
+    cents = [X[int(rng.integers(n))]]
+    for _ in range(1, n_cells):
+        d = 1.0 - np.max(np.stack([X @ c for c in cents]), axis=0)
+        d = np.clip(d, 0.0, None)
+        tot = d.sum()
+        if tot <= 0:
+            idx = int(rng.integers(n))
+        else:
+            idx = int(rng.choice(n, p=d / tot))
+        cents.append(X[idx])
+    C = np.stack(cents)
+    for _ in range(iters):
+        sims = X @ C.T
+        # argmax with ties to the LOWEST cell id (np.argmax semantics)
+        assign = np.argmax(sims, axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                mn = np.linalg.norm(m)
+                if mn > 0:
+                    C[j] = m / mn
+    return [(int(j), [float(x) for x in C[j]]) for j in range(n_cells)]
+
+
 def topk_ivf(
     emb: DataFrame,
     n_queries: int = 5,
@@ -235,12 +310,18 @@ def topk_ivf(
     dim: int = 64,
     n_cells: int = 4,
     probe: int = 1,
+    centroids: str = "head",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its
     nearest-centroid cell, then search the query's ``probe`` nearest
-    cells. Centroids here are the first ``n_cells`` corpus vectors
-    (deterministic stand-in for k-means — the index structure, cell
-    assignment, and probe-limited search are the real thing).
+    cells. ``centroids`` picks the training step: "head" uses the
+    first ``n_cells`` corpus vectors (deterministic, and what the
+    ss03/ss04 DuckDB oracles replay — centroid choice only shapes the
+    candidate sets, so the oracle-checked variant keeps it
+    SQL-expressible), "kmeans" trains real spherical k-means on a
+    deterministic sample (kmeans_centroids; recall ≥ the head variant
+    by construction of better-centered cells — pinned in
+    tests/test_similarity_recall.py).
 
     Scale shape: assignment is a broadcast cross-join against
     ``n_cells`` rows (no corpus shuffle) + one window per vec_id;
@@ -249,11 +330,19 @@ def topk_ivf(
     and a query's probed cells are distinct, so no pair dedup is
     needed (the recall ladder vs exact search is pinned in
     tests/test_similarity_recall.py)."""
-    cents = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c_emb"),
-        norm(F.col("embedding"), dim).alias("c_norm"),
-    )
+    if centroids == "kmeans":
+        trained = kmeans_centroids(emb, n_cells)
+        cents = emb.sparkSession.createDataFrame(
+            trained, "cid long, c_emb array<double>"
+        ).select("cid", "c_emb", norm(F.col("c_emb"), dim).alias("c_norm"))
+    elif centroids == "head":
+        cents = emb.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            norm(F.col("embedding"), dim).alias("c_norm"),
+        )
+    else:
+        raise ValueError(f"unknown centroids source {centroids!r}")
     with_norm = emb.select(
         "vec_id", "embedding", norm(F.col("embedding"), dim).alias("nrm")
     )

@@ -156,6 +156,20 @@ def ss04_ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ss06_ivf_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss04's IVF search with REAL trained centroids: spherical
+    k-means on a deterministic corpus sample
+    (similarity.kmeans_centroids — VERDICT r4 #8) instead of the
+    first-n stand-in. Rows-only by design: the Lloyd iterations are
+    numpy, not SQL; the oracle-checked ss03/ss04 keep the
+    SQL-expressible head centroids, and the recall ladder pins this
+    variant's quality (tests/test_similarity_recall.py)."""
+    return similarity.topk_ivf(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5, dim=64,
+        probe=2, centroids="kmeans",
+    )
+
+
 def ta01_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(load_table(spark, sf_dir, "documents"))
 
