@@ -91,20 +91,26 @@ def test_multi_table_recall_on_true_neardups(spark):
 
 def test_ivf_kmeans_centroids_recall(spark, sf_dir):
     """Trained spherical k-means centroids (VERDICT r4 #8) must be
-    deterministic (the recall ladder stays pinned) and at least match
-    the head-centroid stand-in's recall against exact top-k — cells
-    centered on the data beat cells centered on arbitrary corpus
-    prefixes."""
-    from grisp_spark.sources.testdata import load_table
+    deterministic (the recall ladder stays pinned), keep the k-per-
+    query output discipline on the real corpus, and — on a corpus
+    with genuine cluster structure where the head-centroid stand-in
+    is degenerate (the first n_cells vectors all sit in ONE cluster)
+    — recover the true cells and beat its recall. On the uniform
+    testdata embeddings centroid choice is luck of the cell
+    boundaries, so the dominance claim is pinned on the planted
+    corpus, not there."""
+    import numpy as np
 
-    def fresh():
-        return load_table(spark, sf_dir, "embeddings")
+    from grisp_spark.sources.testdata import load_table
 
     def hits(df):
         return {(r.q_id, r.c_id) for r in df.select("q_id", "c_id").collect()}
 
+    # determinism + discipline on the real corpus
+    def fresh():
+        return load_table(spark, sf_dir, "embeddings")
+
     exact = hits(similarity.topk_bruteforce(fresh(), n_queries=5, k=5))
-    head = hits(similarity.topk_ivf(fresh(), n_queries=5, k=5, probe=2))
     km1 = hits(
         similarity.topk_ivf(fresh(), n_queries=5, k=5, probe=2,
                             centroids="kmeans")
@@ -114,8 +120,37 @@ def test_ivf_kmeans_centroids_recall(spark, sf_dir):
                             centroids="kmeans")
     )
     assert km1 == km2, "k-means centroid training must be deterministic"
-    assert len(km1 & exact) >= len(head & exact)
     assert len(km1) == len(exact)  # k results per query discipline
+
+    # planted 4-cluster corpus: ids 0-3 (the head centroids AND the
+    # first 4 queries) all in cluster 0, rest interleaved — head cells
+    # partition cluster 0's interior, so a cluster-0 query's true
+    # neighbors scatter across head cells, while trained centroids
+    # give each cluster one cell
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for i in range(400):
+        c = 0 if i < 4 else i % 4
+        v = centers[c] + 0.1 * rng.standard_normal(64)
+        vecs.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+
+    def planted():
+        return spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>"
+        )
+
+    p_exact = hits(similarity.topk_bruteforce(planted(), n_queries=5, k=5))
+    p_head = hits(similarity.topk_ivf(planted(), n_queries=5, k=5, probe=1))
+    p_km = hits(
+        similarity.topk_ivf(planted(), n_queries=5, k=5, probe=1,
+                            centroids="kmeans")
+    )
+    head_recall = len(p_head & p_exact) / len(p_exact)
+    km_recall = len(p_km & p_exact) / len(p_exact)
+    assert km_recall > head_recall, (km_recall, head_recall)
+    assert km_recall >= 0.9, km_recall
 
 
 def test_kmeans_centroids_unit_and_deterministic(spark, sf_dir):
