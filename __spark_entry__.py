@@ -43,8 +43,10 @@ from grisp_spark import (  # noqa: E402
 # stays in. Rotated OUT — all green r4 on modules untouched in r5:
 # q26-q31 (backbone + sources), mm01-mm04 (multimodal parsers),
 # ta05/ta06 (corpus sampling/packing; ta07 keeps the composite
-# pipeline in-window). Due back by r6: q18, q20-q25, dd06, ss02, ss03;
-# by r7: the rows rotated out this round.
+# pipeline in-window), and q19/dd09 (asof join, survivor selection —
+# swapped for the round-5-new dd12 decontamination and ta11 PII
+# scrub per the new-query policy). Due back by r6: q18, q20-q25,
+# dd06, ss02, ss03; by r7: the rows rotated out this round.
 DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary",
     "q02_global_counters",
@@ -63,7 +65,6 @@ DRIVER_WINDOW: list[str] = [
     "q15_props_map",
     "q16_salted_stats",
     "q17_set_ops",
-    "q19_asof_join",
     "q32_kg_label_stats",
     "q33_kg_label_senses",
     "q34_kg_entity_labels",
@@ -82,9 +83,9 @@ DRIVER_WINDOW: list[str] = [
     "dd05_simhash",
     "dd07_embed_neardup_lsh",
     "dd08_embed_neardup_lsh_multi",
-    "dd09_dedup_survivors",
     "dd10_substring_windows",
     "dd11_incremental_dedup",
+    "dd12_decontaminate",
     "ss01_cosine_topk",
     "ss04_ivf_ann_multiprobe",
     "ss05_cosine_topk_blocked",
@@ -96,6 +97,7 @@ DRIVER_WINDOW: list[str] = [
     "ta08_repetition",
     "ta09_tfidf_topk",
     "ta10_context_chunks",
+    "ta11_pii_scrub",
 ]
 
 

@@ -276,6 +276,53 @@ def substring_window_pairs(
     )
 
 
+DECONTAM_NGRAM = 8
+
+
+def decontaminate_flags(
+    docs: DataFrame, benchmark: DataFrame, n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Lee et al.
+    training-data hygiene step): flag corpus documents sharing any
+    verbatim ``n``-token n-gram with an evaluation set, so they can be
+    dropped before training. Returns (doc_id, n_hits) per contaminated
+    doc — n_hits = number of DISTINCT benchmark n-grams the doc
+    contains.
+
+    Scale shape: the benchmark side is an eval set (MBs, thousands of
+    docs), so its distinct n-gram hash set BROADCASTS and the corpus
+    side is a map-side hash probe — the 100 TB corpus is scanned once
+    with NO shuffle except the final per-doc partial-agg count. Same
+    window construction as substring_window_pairs (md5 of the
+    space-joined token window), reused oracle-side."""
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", _tokens().alias("w"))
+        return (
+            toks.filter(F.size("w") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("w") - n),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice(F.col("w"), i + 1, n))
+                        ),
+                    )
+                ).alias("g"),
+            )
+            .distinct()
+        )
+
+    bench = grams(benchmark).select("g").distinct()
+    corpus = grams(docs)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
 def incremental_dedup(new_docs: DataFrame, existing_docs: DataFrame) -> DataFrame:
     """Cross-snapshot ingestion dedup: drop incoming docs whose
     content hash already exists in the reference corpus (left-anti on

@@ -134,6 +134,41 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# PII / numeric scrub patterns — restricted to the Java-regex ∩ RE2
+# common subset (\b, \d, {m,n}, char classes) so the DuckDB oracle
+# runs the IDENTICAL patterns. Replacement order is this dict's
+# insertion order (numbers LAST — it also matches digit runs inside
+# phones/IPs, so specific patterns must consume theirs first);
+# Spark regexp_replace replaces all matches by default, DuckDB needs
+# the 'g' flag.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "number": r"\b\d+\b",
+}
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII / numeric redaction audit — the training-data hygiene map
+    step: per-doc match counts for each pattern (on the ORIGINAL
+    text, so counts are order-independent) plus the length of the
+    text after replacing every match with a <name> placeholder in
+    PII_PATTERNS order. Pure JVM regex expressions, map-only, no
+    shuffle — at 100 TB this is a scan-speed pass, and the scrubbed
+    column would be written in place of text."""
+    cols = [F.col("doc_id")]
+    for name, pat in PII_PATTERNS.items():
+        cols.append(
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+    scrub = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        scrub = F.regexp_replace(scrub, pat, f"<{name}>")
+    cols.append(F.length(scrub).cast("long").alias("scrubbed_len"))
+    return docs.select(*cols).orderBy("doc_id")
+
+
 def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document — the corpus-conditioned
     per-doc statistic shape (same plan as feature hashing / rare-term

@@ -874,6 +874,58 @@ ORACLES["dd11_incremental_dedup"] = """
 """
 
 
+def dd12_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any verbatim 8-token
+    n-gram with the 'evaluation set' (every 50th doc stands in for a
+    held-out benchmark) are flagged with their distinct-overlap count.
+    The benchmark n-gram hash set broadcasts; the corpus scan is
+    map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus_docs = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate_flags(corpus_docs, bench)
+
+
+ORACLES["dd12_decontaminate"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(w[i : i + 7], ' ')) AS g
+        FROM toks, UNNEST(generate_series(1, len(w) - 7)) t(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+    corp AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0)
+    SELECT doc_id, count(*) AS n_hits
+    FROM corp JOIN bench USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def ta11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / numeric redaction audit: per-doc pattern match counts +
+    post-scrub length (textstats.pii_scrub — map-only JVM regex in
+    the Java∩RE2 dialect subset so DuckDB runs identical patterns)."""
+    return textstats.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    pats = textstats.PII_PATTERNS
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{n}"
+        for n, p in pats.items()
+    )
+    scrub = "text"
+    for n, p in pats.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '<{n}>', 'g')"
+    return f"""
+        SELECT doc_id, {counts},
+               CAST(length({scrub}) AS BIGINT) AS scrubbed_len
+        FROM documents ORDER BY doc_id
+    """
+
+
+ORACLES["ta11_pii_scrub"] = _pii_oracle()
+
+
 CHUNK_TURNS = 4
 CHUNK_STRIDE = 2
 

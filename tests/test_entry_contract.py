@@ -74,8 +74,9 @@ def test_driver_window_covers_kg_spine_and_recent_rewrites():
         "q35_kg_cooccurrence_edges", "q36_kg_adjacency_capped",
         "q37_kg_triples_flagship", "q38_kg_triples_prior",
         "q39_triples_prior_shuffle",
-        # newly certified flagship scores + new incremental dedup
+        # newly certified flagship scores + r5-new operators
         "q42_kg_linked_centroid", "dd11_incremental_dedup",
+        "dd12_decontaminate", "ta11_pii_scrub",
         # modules changed in r5: dedup.py / textstats.py / similarity.py
         "dd10_substring_windows", "ta09_tfidf_topk",
         "ss05_cosine_topk_blocked", "ss01_cosine_topk",

@@ -231,3 +231,57 @@ def test_incremental_dedup_planted(spark):
         for r in dedup.incremental_dedup(incoming, existing).collect()
     }
     assert rows == {11: 2, 13: 1}
+
+
+def test_decontaminate_planted(spark):
+    """A corpus doc carrying a verbatim 8-token benchmark span is
+    flagged with the distinct-overlap count; clean docs are absent."""
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta tail")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # carries the full 8-token benchmark prefix (2 shared
+            # 8-gram windows: positions 1 and 2 of the bench text)
+            (1, "x alpha beta gamma delta epsilon zeta eta theta tail y"),
+            (2, "totally clean document with no overlap at all here"),
+            (3, "alpha beta gamma delta epsilon zeta eta wrong"),  # 7-gram only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.n_hits for r in
+            dedup.decontaminate_flags(docs, bench).collect()}
+    assert rows == {1: 2}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body " + "tok " * 10) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = physical_plan(dedup.decontaminate_flags(docs, docs.limit(2)))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan  # corpus side never shuffles to join
+
+
+def test_pii_scrub_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co or c.d@e-f.org, call 555-123-4567, "
+                "host 10.0.0.1, port 8080"),
+            (2, "no sensitive content"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.pii_scrub(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_email, r1.n_phone, r1.n_ipv4) == (2, 1, 1)
+    # numbers counted on the ORIGINAL text: 555,123,4567 + 10,0,0,1 + 8080
+    assert r1.n_number == 8
+    scrubbed = ("mail <email> or <email>, call <phone>, "
+                "host <ipv4>, port <number>")
+    assert r1.scrubbed_len == len(scrubbed)
+    r2 = rows[2]
+    assert (r2.n_email, r2.n_phone, r2.n_ipv4, r2.n_number) == (0, 0, 0, 0)
+    assert r2.scrubbed_len == len("no sensitive content")
