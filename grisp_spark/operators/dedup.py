@@ -330,8 +330,18 @@ def incremental_dedup(new_docs: DataFrame, existing_docs: DataFrame) -> DataFram
     join colocates on the hash), then exact-dedup within the batch
     (min-id keeper + duplicate count). The incremental complement of
     exact_dedup: a re-crawl batch joins against yesterday's corpus
-    instead of re-hashing it."""
-    ex = existing_docs.select(F.md5("text").alias("text_hash")).distinct()
+    instead of re-hashing it.
+
+    If ``existing_docs`` already carries a ``text_hash`` column — the
+    reference corpus stored as a table BUCKETED by text_hash — it is
+    used as-is: the bucketed scan's output partitioning feeds the
+    distinct AND the anti-join with no exchange, so only the (small)
+    incoming batch shuffles. Plan-pinned in
+    tests/test_traindata_ops.py::test_incremental_dedup_bucketed."""
+    if "text_hash" in existing_docs.columns:
+        ex = existing_docs.select("text_hash").distinct()
+    else:
+        ex = existing_docs.select(F.md5("text").alias("text_hash")).distinct()
     inc = new_docs.select("doc_id", F.md5("text").alias("text_hash"))
     fresh = inc.join(ex, "text_hash", "left_anti")
     return (

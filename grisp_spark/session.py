@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed-table home (incremental-dedup reference corpora,
+        # tests) — .data is scratch/gitignored
+        .config("spark.sql.warehouse.dir", "/root/repo/.data/warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

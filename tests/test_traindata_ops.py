@@ -285,3 +285,48 @@ def test_pii_scrub_values(spark):
     r2 = rows[2]
     assert (r2.n_email, r2.n_phone, r2.n_ipv4, r2.n_number) == (0, 0, 0, 0)
     assert r2.scrubbed_len == len("no sensitive content")
+
+
+def test_incremental_dedup_bucketed(spark):
+    """dd11's 100 TB claim made concrete: with the reference corpus
+    stored as a table BUCKETED by text_hash, the bucketed scan's
+    partitioning feeds the distinct and the anti-join exchange-free —
+    only the incoming batch (and the final keeper agg) shuffle. With
+    an unbucketed reference the same plan needs one more exchange."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"body of document {i % 30}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    spark.sql("DROP TABLE IF EXISTS ref_corpus_bucketed")
+    (hashed.write.bucketBy(8, "text_hash").sortBy("text_hash")
+        .mode("overwrite").saveAsTable("ref_corpus_bucketed"))
+    incoming = spark.createDataFrame(
+        [(100 + i, f"body of document {i % 40}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join shape (not size) decides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        bucketed = dedup.incremental_dedup(
+            incoming, spark.table("ref_corpus_bucketed")
+        )
+        plain = dedup.incremental_dedup(incoming, docs)
+        p_bucketed = physical_plan(bucketed)
+        p_plain = physical_plan(plain)
+        assert "Bucketed: true" in p_bucketed, p_bucketed
+        assert p_bucketed.count("Exchange") < p_plain.count("Exchange"), (
+            p_bucketed
+        )
+        # identical results either way
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ref_corpus_bucketed")
