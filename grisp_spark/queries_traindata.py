@@ -903,8 +903,28 @@ ORACLES["dd12_decontaminate"] = """
 def ta11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII / numeric redaction audit: per-doc pattern match counts +
     post-scrub length (textstats.pii_scrub — map-only JVM regex in
-    the Java∩RE2 dialect subset so DuckDB runs identical patterns)."""
-    return textstats.pii_scrub(load_table(spark, sf_dir, "documents"))
+    the Java∩RE2 dialect subset so DuckDB runs identical patterns).
+    The testdata text is digit-free, so each doc gets a DETERMINISTIC
+    contact block derived from doc_id appended (same derived-input
+    technique as mm01's synthesized headers) — the hash then
+    certifies real per-row match counts and replacement arithmetic,
+    not a column of zeros."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 port "),
+            (F.col("doc_id") % 65536).cast("string"),
+        ).alias("text"),
+    )
+    return textstats.pii_scrub(seeded)
 
 
 def _pii_oracle() -> str:
@@ -917,9 +937,19 @@ def _pii_oracle() -> str:
     for n, p in pats.items():
         scrub = f"regexp_replace({scrub}, '{p}', '<{n}>', 'g')"
     return f"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' reach user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-000-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7 port ' || CAST(doc_id % 65536 AS VARCHAR)
+                     AS text
+            FROM documents
+        )
         SELECT doc_id, {counts},
                CAST(length({scrub}) AS BIGINT) AS scrubbed_len
-        FROM documents ORDER BY doc_id
+        FROM seeded ORDER BY doc_id
     """
 
 
