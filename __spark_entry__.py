@@ -93,7 +93,7 @@ DRIVER_WINDOW: list[str] = [
     "ta02_quality",
     "ta03_token_counts",
     "ta04_fingerprint",
-    "ta07_corpus_pipeline",
+    "ta12_corpus_hygiene",
     "ta08_repetition",
     "ta09_tfidf_topk",
     "ta10_context_chunks",

@@ -229,6 +229,8 @@ def seq_segment_sums(
     counts = np.asarray(counts, dtype=np.int64)
     n = len(starts)
     if n == 1:
+        if counts[0] == 0:
+            return np.zeros((1, W64.shape[1]), dtype=np.float64)
         seg = W64[starts[0] : starts[0] + counts[0]]
         return np.cumsum(seg, axis=0)[-1:]
     d = W64.shape[1]

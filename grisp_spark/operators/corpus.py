@@ -160,11 +160,18 @@ def build_training_corpus(
     salt: str,
     budget: int,
     n_shards: int,
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
-    """End-to-end corpus build: near-dup survivor selection → minimum
-    token-count filter → deterministic stratified sampling → greedy
-    sequence packing. Every stage is semi-joined on doc_id so the
-    document payload is scanned once, at the end, by pack_sequences.
+    """End-to-end corpus build: near-dup survivor selection →
+    [optional] benchmark decontamination → minimum token-count filter
+    → deterministic stratified sampling → greedy sequence packing.
+    Every stage is semi-joined on doc_id so the document payload is
+    scanned once, at the end, by pack_sequences.
+
+    ``benchmark`` plugs the evaluation-set hygiene step into the
+    build: documents sharing any verbatim 8-token n-gram with it are
+    dropped (dedup.decontaminate_flags — broadcast eval-set probe, a
+    map-side anti-join at corpus scale).
 
     The length gate is an integer token count rather than the float
     quality score (textstats.quality_score) on purpose: a hard filter
@@ -182,6 +189,11 @@ def build_training_corpus(
     kept = docs.filter(
         F.size(F.split(F.col("text"), " ")) >= min_tokens
     ).join(surv, "doc_id", "left_semi")
+    if benchmark is not None:
+        from grisp_spark.operators.dedup import decontaminate_flags
+
+        flagged = decontaminate_flags(docs, benchmark).select("doc_id")
+        kept = kept.join(flagged, "doc_id", "left_anti")
     sampled = stratified_sample(kept, rates, default_rate, salt).select(
         "doc_id"
     )

@@ -127,6 +127,31 @@ def ta07_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ta12_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ta07's end-to-end corpus build with the benchmark-
+    decontamination stage plugged in: every 50th document stands in
+    for the held-out eval set, the rest is the corpus — survivors →
+    drop docs sharing an 8-token n-gram with the eval set → min-token
+    gate → stratified sample → greedy packing, replayed by one DuckDB
+    statement (ta07's oracle re-scoped to the corpus subset + the dd12
+    n-gram anti-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus_docs = docs.filter(F.col("doc_id") % 50 != 0)
+    pairs = dedup.jaccard_pairs(corpus_docs, threshold=0.1)
+    return corpus.build_training_corpus(
+        corpus_docs,
+        pairs,
+        min_tokens=CORPUS_MIN_TOKENS,
+        rates=CORPUS_RATES,
+        default_rate=CORPUS_DEFAULT,
+        salt=CORPUS_SALT,
+        budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+        benchmark=bench,
+    )
+
+
 def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_bruteforce(
         load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10, dim=64
@@ -954,6 +979,46 @@ def _pii_oracle() -> str:
 
 
 ORACLES["ta11_pii_scrub"] = _pii_oracle()
+
+
+def _ta12_oracle() -> str:
+    """ta07's replay re-scoped to the non-benchmark corpus (every
+    `documents` reference → docs_c) with the dd12 n-gram anti-join
+    spliced into `kept`. Assembled from ta07's SQL so the two replays
+    cannot drift."""
+    import re
+
+    body = re.sub(r"\bdocuments\b", "docs_c", ORACLES["ta07_corpus_pipeline"])
+    body = body.replace(
+        "WITH RECURSIVE ",
+        """WITH RECURSIVE docs_c AS (
+            SELECT * FROM documents WHERE doc_id % 50 <> 0
+        ),
+        tokw AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+        gall AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(w[i : i + 7], ' ')) AS g
+            FROM tokw, UNNEST(generate_series(1, len(w) - 7)) t(i)
+        ),
+        bgr AS (SELECT DISTINCT g FROM gall WHERE doc_id % 50 = 0),
+        decon_flagged AS (
+            SELECT DISTINCT doc_id FROM gall JOIN bgr USING (g)
+            WHERE doc_id % 50 <> 0
+        ),
+        """,
+        1,
+    )
+    old_kept = """JOIN surv USING (doc_id)
+            WHERE len(string_split(d.text, ' ')) >="""
+    new_kept = """JOIN surv USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM decon_flagged)
+              AND len(string_split(d.text, ' ')) >="""
+    assert old_kept in body, "ta07 oracle shape changed — update ta12 splice"
+    return body.replace(old_kept, new_kept, 1)
+
+
+ORACLES["ta12_corpus_hygiene"] = _ta12_oracle()
 
 
 CHUNK_TURNS = 4

@@ -147,3 +147,38 @@ def test_word_vec_sql_replayable():
         ).fetchone()
         got = spec.word_vec(word)
         assert list(got) == list(row), word
+
+
+def test_seq_segment_sums_property():
+    """Hypothesis: for arbitrary segment layouts (overlapping, empty,
+    unsorted, duplicated), every segment sum equals the explicit
+    sequential left fold — the exact association the DuckDB oracle's
+    list_reduce reproduces."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        n = data.draw(st.integers(1, 60))
+        d = data.draw(st.integers(1, 8))
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**16)))
+        W = rng.standard_normal((n, d))
+        n_seg = data.draw(st.integers(1, 10))
+        segs = []
+        for _ in range(n_seg):
+            start = data.draw(st.integers(0, n - 1))
+            count = data.draw(st.integers(0, n - start))
+            segs.append((start, count))
+        starts = np.array([s for s, _ in segs])
+        counts = np.array([c for _, c in segs])
+        got = spec.seq_segment_sums(W, starts, counts)
+        for i, (s, c) in enumerate(segs):
+            if c == 0:
+                assert np.array_equal(got[i], np.zeros(d))
+            else:
+                acc = W[s].copy()
+                for j in range(1, c):
+                    acc = acc + W[s + j]
+                assert np.array_equal(got[i], acc), (i, s, c)
+
+    run()
