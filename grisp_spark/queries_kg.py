@@ -164,7 +164,14 @@ def _centroid_corpus_kb(spark: SparkSession, sf_dir: str):
     space-split tokens, entities with context_vocab = [token] so the
     entity vector is the renormalized word vector).
 
-    Entity ids are dense row_number over the AGGREGATED vocabulary
+    Senses are per (token, role) — up to one per speaker role sharing
+    the token's label — so the centroid/prior scoring genuinely
+    DECIDES every pick among competing candidates (a one-sense-per-
+    label KB would leave the argmax path oracle-unexercised: priors
+    are 1.0 and any cosine wins). context_vocab = [token, role] also
+    exercises the multi-word entity-centroid fold.
+
+    Entity ids are dense row_number over the AGGREGATED sense table
     (same justification as kg07: hundreds of rows after the MIN_OCC
     cut, so the single-partition window is not a scale concern) —
     xxhash64 ids were dropped because the DuckDB replay has no
@@ -172,24 +179,36 @@ def _centroid_corpus_kb(spark: SparkSession, sf_dir: str):
     oracle at all."""
     conv = derive_conversations(spark, sf_dir)
     toks = _turn_tokens(conv).filter(F.length("token") >= 6)
+    senses = occ_doc_agg(
+        toks.select("token", "role", "conv_id"), ["token", "role"], "occ", "doc"
+    )
+    labs = (
+        senses.groupBy("token")
+        .agg(F.sum("occ").alias("tot"))
+        .filter(F.col("tot") >= MIN_OCC)
+        .select("token")
+    )
     # cached: entities feed three consumers (two broadcast builds +
     # canonical map) — without the cache the token agg runs 3x
-    vocab = (
-        occ_doc_agg(toks, ["token"], "occ", "doc")
-        .filter(F.col("occ") >= MIN_OCC)
+    ent = (
+        senses.join(labs, "token")
+        .withColumn(
+            "entity_id",
+            F.row_number().over(W.orderBy("token", "role")).cast("long"),
+        )
         .cache()
     )
-    entities = vocab.select(
-        F.row_number().over(W.orderBy("token")).cast("long").alias("entity_id"),
+    entities = ent.select(
+        "entity_id",
         F.initcap("token").alias("canonical_name"),
         F.lit("article").alias("entity_type"),
-        F.array(F.col("token")).alias("context_vocab"),
+        F.array(F.col("token"), F.col("role")).alias("context_vocab"),
         F.lit(None).cast("long").alias("redirect_to"),
         F.col("occ"),
         F.col("doc"),
     )
-    label_stats = entities.select(
-        F.col("canonical_name").alias("label"),
+    label_stats = ent.select(
+        F.initcap("token").alias("label"),
         "entity_id",
         F.col("occ").alias("link_occ"),
         F.col("doc").alias("link_doc"),
@@ -522,9 +541,9 @@ ORACLES["q39_triples_prior_shuffle"] = ORACLES["kg07_triples_prior"]
 #      technique as ss01's oracle (queries_traindata.py).
 
 
-def _wordvec_ctes(inner: str, keep: str) -> str:
-    """Subquery chain: ``inner`` (a SELECT providing column ``tok`` +
-    the ``keep`` passthrough columns) -> DOUBLE[] column ``vec``
+def _wordvec_ctes(inner: str, keep: str, tokcol: str = "tok") -> str:
+    """Subquery chain: ``inner`` (a SELECT providing column ``tokcol``
+    + the ``keep`` passthrough columns) -> DOUBLE[] column ``vec``
     holding spec.word_vec's float32 values: one md5 per row, nibble
     list via an indexed transform, the dim-sequential norm fold, one
     float32 rounding (CAST FLOAT) widened back to DOUBLE so downstream
@@ -544,7 +563,7 @@ def _wordvec_ctes(inner: str, keep: str) -> str:
                        list_transform(generate_series(1, 32),
                            d -> (strpos('0123456789abcdef',
                                         substr(h, d, 1)) - 8.5) / 8) AS raw
-                FROM (SELECT {k} md5(lower(tok)) AS h FROM {inner})
+                FROM (SELECT {k} md5(lower({tokcol})) AS h FROM {inner})
             )
         )
     )"""
@@ -567,35 +586,48 @@ def _centroid_linking_ctes() -> str:
     each embedding the md5+norm chain re-evaluated the whole vector
     build per dimension)."""
     wv_ent = _wordvec_ctes("ent0", "entity_id, label, occ")
+    wv_role = _wordvec_ctes("ent0", "entity_id", tokcol="role")
     wv_tok = _wordvec_ctes("(SELECT DISTINCT tok FROM tp)", "tok")
-    e_nrm = _SEQ_NORM.format(v="vec")
+    e_nrm = _SEQ_NORM.format(v="m")
     c_nrm = _SEQ_NORM.format(v="m")
     return f"""
     sp AS (
-        SELECT conv_id, t.tok AS tok
+        SELECT conv_id, role, t.tok AS tok
         FROM conv, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(tok)
         WHERE length(t.tok) >= 6
     ),
-    vocab AS (
-        SELECT tok, count(*) AS occ, count(DISTINCT conv_id) AS doc
-        FROM sp GROUP BY tok HAVING count(*) >= {MIN_OCC}
+    senses AS (
+        SELECT tok, role, count(*) AS occ
+        FROM sp GROUP BY tok, role
+    ),
+    labs AS (
+        SELECT tok FROM senses GROUP BY tok HAVING sum(occ) >= {MIN_OCC}
     ),
     ent0 AS (
-        SELECT tok, occ,
-               CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS entity_id,
+        SELECT tok, role, occ,
+               CAST(row_number() OVER (ORDER BY tok, role) AS BIGINT)
+                 AS entity_id,
                upper(tok[1]) || lower(tok[2:]) AS label
-        FROM vocab
+        FROM senses JOIN labs USING (tok)
     ),
     tot AS (SELECT label, sum(occ) AS tot FROM ent0 GROUP BY label),
+    wtok AS ({wv_ent.strip()[1:-1]}),
+    wrole AS ({wv_role.strip()[1:-1]}),
     evec AS (
-        -- centroid([token]): mean of ONE word vector (sum/1), the
-        -- dim-sequential norm, one more float32 rounding; nb is
-        -- cosine_batch's norm of that float32 evec
+        -- centroid([token, role]): sequential 2-vector sum (the fold
+        -- v_tok + v_role), mean /2, the dim-sequential norm, one
+        -- float32 rounding; nb is cosine_batch's norm of that
+        -- float32 evec
         SELECT entity_id, label, occ,
-               list_transform(vec, x -> CAST(CAST(
+               list_transform(m, x -> CAST(CAST(
                    CASE WHEN {e_nrm} > 0 THEN x / {e_nrm} ELSE x END
                    AS FLOAT) AS DOUBLE)) AS evec
-        FROM {wv_ent}
+        FROM (
+            SELECT w.entity_id, w.label, w.occ,
+                   list_transform(list_zip(w.vec, r.vec),
+                                  z -> (z[1] + z[2]) / 2) AS m
+            FROM wtok w JOIN wrole r USING (entity_id)
+        )
     ),
     evn AS (SELECT entity_id, label, occ, evec,
                    {_SEQ_NORM.format(v="evec")} AS nb
