@@ -247,3 +247,18 @@ def test_shuffle_path_feeds_staged_pipeline(spark, corpus):
     a = sorted(tuple(r) for r in fused.collect())
     b = sorted(tuple(r) for r in staged.collect())
     assert a == b
+
+
+def test_centroid_chunking_invariance(spark, corpus, monkeypatch):
+    """Scoring-chunk boundaries (the worker-memory cap in
+    _pick_batch_centroid) must not change a single float: chunking is
+    per-mention, each mention is one contiguous segment, and
+    spec.seq_segment_sums' fold is segment-local. Force pathologically
+    tiny chunks and require row identity with the default."""
+    conv, kb = corpus
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    baseline = _rows(linking.link_mentions(conv, gaz_bc, evec_bc, 8, "centroid"))
+    monkeypatch.setattr(linking, "MAX_CTX_ROWS_PER_CHUNK", 7)
+    tiny = _rows(linking.link_mentions(conv, gaz_bc, evec_bc, 8, "centroid"))
+    assert baseline, "invariance test needs non-empty output"
+    assert tiny == baseline
