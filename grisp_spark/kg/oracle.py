@@ -66,10 +66,30 @@ def canonical_map(kb: dict[str, pd.DataFrame]) -> dict[int, int]:
 
     for r in ents.itertuples(index=False):
         if pd.notna(r.redirect_to):
-            t = int(r.redirect_to)
+            t = _exact_id(r.redirect_to)
             parent.setdefault(t, t)
             union(int(r.entity_id), t)
     return {e: find(e) for e in ids}
+
+
+def _exact_id(v) -> int:
+    """Entity-id conversion that REFUSES silent float rounding: a
+    pandas float64 column (how a nullable long materializes after
+    toPandas) cannot represent ids above 2^53, and int(float) would
+    quietly return the rounded neighbour — the bug the Spark collect
+    path fixed with a string cast (linking.build_kb_broadcasts). The
+    oracle defends loudly instead of diverging: pass redirect ids as
+    Int64/object/string frames when ids can exceed 2^53."""
+    if isinstance(v, float):
+        if abs(v) >= 2**53:
+            raise ValueError(
+                f"redirect id {v!r} arrived as float64 and exceeds 2^53 — "
+                "exact value lost upstream; cast the column to string or "
+                "Int64 before handing the frame to the oracle"
+            )
+        if v != int(v):
+            raise ValueError(f"non-integral redirect id {v!r}")
+    return int(v)
 
 
 def entity_vectors(

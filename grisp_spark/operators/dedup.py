@@ -221,22 +221,7 @@ def substring_window_pairs(
     jaccard_pairs' hot-shingle cap. Returns
     (doc_a, doc_b, shared_windows) with shared_windows = number of
     distinct window hashes the pair has in common."""
-    toks = docs.select("doc_id", _tokens().alias("w"))
-    wins = (
-        toks.filter(F.size("w") >= window)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - window),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice(F.col("w"), i + 1, window))
-                    ),
-                )
-            ).alias("win"),
-        )
-        .distinct()
-    )
+    wins = _window_hashes(docs, window).withColumnRenamed("g", "win")
     # df filter via count-agg + BROADCAST anti-join on the hot set,
     # not a window count: `count(*) over (partition by win)` routed
     # every (doc, win) row of a hot key into ONE task — exactly the
@@ -276,6 +261,30 @@ def substring_window_pairs(
     )
 
 
+def _window_hashes(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): DISTINCT md5 of every sliding ``n``-token window
+    per doc — the ONE window-hash construction shared by
+    substring_window_pairs (dd10) and decontaminate_flags (dd12), so
+    the two operators (and their hard-coded oracle replays) cannot
+    fork window semantics."""
+    toks = docs.select("doc_id", _tokens().alias("w"))
+    return (
+        toks.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("w"), i + 1, n))
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+
+
 DECONTAM_NGRAM = 8
 
 
@@ -292,29 +301,11 @@ def decontaminate_flags(
     Scale shape: the benchmark side is an eval set (MBs, thousands of
     docs), so its distinct n-gram hash set BROADCASTS and the corpus
     side is a map-side hash probe — the 100 TB corpus is scanned once
-    with NO shuffle except the final per-doc partial-agg count. Same
-    window construction as substring_window_pairs (md5 of the
-    space-joined token window), reused oracle-side."""
-    def grams(df: DataFrame) -> DataFrame:
-        toks = df.select("doc_id", _tokens().alias("w"))
-        return (
-            toks.filter(F.size("w") >= n)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("w") - n),
-                        lambda i: F.md5(
-                            F.concat_ws(" ", F.slice(F.col("w"), i + 1, n))
-                        ),
-                    )
-                ).alias("g"),
-            )
-            .distinct()
-        )
-
-    bench = grams(benchmark).select("g").distinct()
-    corpus = grams(docs)
+    with NO shuffle except the final per-doc partial-agg count. The
+    window construction is _window_hashes, shared with
+    substring_window_pairs."""
+    bench = _window_hashes(benchmark, n).select("g").distinct()
+    corpus = _window_hashes(docs, n)
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -323,7 +314,11 @@ def decontaminate_flags(
     )
 
 
-def incremental_dedup(new_docs: DataFrame, existing_docs: DataFrame) -> DataFrame:
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    hash_col: str | None = None,
+) -> DataFrame:
     """Cross-snapshot ingestion dedup: drop incoming docs whose
     content hash already exists in the reference corpus (left-anti on
     md5 — at scale the reference side is a bucketed hash table and the
@@ -332,14 +327,20 @@ def incremental_dedup(new_docs: DataFrame, existing_docs: DataFrame) -> DataFram
     exact_dedup: a re-crawl batch joins against yesterday's corpus
     instead of re-hashing it.
 
-    If ``existing_docs`` already carries a ``text_hash`` column — the
-    reference corpus stored as a table BUCKETED by text_hash — it is
-    used as-is: the bucketed scan's output partitioning feeds the
-    distinct AND the anti-join with no exchange, so only the (small)
-    incoming batch shuffles. Plan-pinned in
-    tests/test_traindata_ops.py::test_incremental_dedup_bucketed."""
-    if "text_hash" in existing_docs.columns:
-        ex = existing_docs.select("text_hash").distinct()
+    ``hash_col`` is the EXPLICIT opt-in for a pre-hashed reference:
+    name the column holding md5(text) — the reference corpus stored
+    as a table BUCKETED by that column — and the bucketed scan's
+    output partitioning feeds the distinct AND the anti-join with no
+    exchange, so only the (small) incoming batch shuffles
+    (plan-pinned in tests/test_traindata_ops.py::
+    test_incremental_dedup_bucketed). The caller asserts the hash
+    scheme by naming the column; inferring it from column presence
+    would silently mis-dedup against a stale or differently-hashed
+    column."""
+    if hash_col is not None:
+        ex = existing_docs.select(
+            F.col(hash_col).alias("text_hash")
+        ).distinct()
     else:
         ex = existing_docs.select(F.md5("text").alias("text_hash")).distinct()
     inc = new_docs.select("doc_id", F.md5("text").alias("text_hash"))

@@ -47,8 +47,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # bucketed-table home (incremental-dedup reference corpora,
-        # tests) — .data is scratch/gitignored
-        .config("spark.sql.warehouse.dir", "/root/repo/.data/warehouse")
+        # tests) — .data is scratch/gitignored; derived from the
+        # package location so a checkout anywhere works
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".data",
+                "warehouse",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

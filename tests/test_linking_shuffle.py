@@ -262,3 +262,33 @@ def test_centroid_chunking_invariance(spark, corpus, monkeypatch):
     tiny = _rows(linking.link_mentions(conv, gaz_bc, evec_bc, 8, "centroid"))
     assert baseline, "invariance test needs non-empty output"
     assert tiny == baseline
+
+
+def test_oracle_refuses_rounded_redirect_ids():
+    """The oracle must not silently diverge on the 2^53 float boundary
+    the Spark collect path was hardened against: an Int64/object frame
+    canonicalizes exactly; a float64 frame that has already lost the
+    id raises instead of returning a rounded neighbour."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from grisp_spark.kg import oracle
+
+    big = (1 << 60) + 1
+    exact = pd.DataFrame(
+        {
+            "entity_id": pd.array([big + 3, big + 1, 7], dtype="Int64"),
+            "redirect_to": pd.array([big + 1, None, None], dtype="Int64"),
+        }
+    )
+    canon = oracle.canonical_map({"entities": exact})
+    assert canon[big + 3] == big + 1
+
+    lossy = pd.DataFrame(
+        {
+            "entity_id": pd.array([big + 3, big + 1, 7], dtype="Int64"),
+            "redirect_to": [float(big + 1), None, None],  # float64: rounded
+        }
+    )
+    with _pytest.raises(ValueError, match="2\\^53"):
+        oracle.canonical_map({"entities": lossy})

@@ -313,7 +313,8 @@ def test_incremental_dedup_bucketed(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         bucketed = dedup.incremental_dedup(
-            incoming, spark.table("ref_corpus_bucketed")
+            incoming, spark.table("ref_corpus_bucketed"),
+            hash_col="text_hash",
         )
         plain = dedup.incremental_dedup(incoming, docs)
         p_bucketed = physical_plan(bucketed)
