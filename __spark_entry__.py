@@ -73,9 +73,9 @@ DRIVER_WINDOW: list[str] = [
     "q37_kg_triples_flagship",
     "q38_kg_triples_prior",
     "q39_triples_prior_shuffle",
-    "q40_tree_depth",
     "q41_timeseries_rollup",
     "q42_kg_linked_centroid",
+    "q43_linked_centroid_shuffle",
     "dd01_exact_dedup",
     "dd02_minhash_signatures",
     "dd03_minhash_lsh_pairs",

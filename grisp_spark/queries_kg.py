@@ -337,6 +337,23 @@ def _prior_corpus_kb(spark: SparkSession, sf_dir: str):
     return conv, {"entities": entities, "label_stats": label_stats}
 
 
+def q43_linked_centroid_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kg08's exact query through the oversized-gazetteer SHUFFLE-JOIN
+    linking path (kg/linking_shuffle — KB stays distributed, no
+    broadcast dict, no driver collect), checked against the SAME
+    DuckDB oracle: the scale path's centroid/cosine float math is
+    hash-certified end to end, closing the last (linking-plan ×
+    score-mode) cell — q39 certifies the shuffle plan in prior mode,
+    q42 the broadcast plan in centroid mode."""
+    from grisp_spark.kg import linking_shuffle
+
+    conv, kb = _centroid_corpus_kb(spark, sf_dir)
+    linked = linking_shuffle.link_mentions_shuffle(conv, kb, score_mode="centroid")
+    return linked.select(
+        "conv_id", "turn_idx", "begin", "end", "surface", "entity_id", "score"
+    ).orderBy("conv_id", "turn_idx", "begin")
+
+
 def q39_triples_prior_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kg07's exact pipeline with the linking stage swapped to the
     oversized-gazetteer SHUFFLE-JOIN path (kg/linking_shuffle — no
@@ -761,6 +778,10 @@ QUERIES = {
     if callable(fn) and name.startswith("kg0")
 }
 QUERIES["q39_triples_prior_shuffle"] = q39_triples_prior_shuffle
+QUERIES["q43_linked_centroid_shuffle"] = q43_linked_centroid_shuffle
+# same output contract as kg08 — the shuffle path must match the
+# broadcast path bit-for-bit, so they share one oracle
+ORACLES["q43_linked_centroid_shuffle"] = ORACLES["kg08_linked_centroid"]
 
 # Driver-visible aliases: the driver's correctness gate only evaluates
 # q/dd/ss/ta/mm-prefixed names (CORRECTNESS_r02 had no row for any kg*

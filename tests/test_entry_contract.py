@@ -77,6 +77,7 @@ def test_driver_window_covers_kg_spine_and_recent_rewrites():
         # newly certified flagship scores + r5-new operators
         "q42_kg_linked_centroid", "dd11_incremental_dedup",
         "dd12_decontaminate", "ta11_pii_scrub", "ta12_corpus_hygiene",
+        "q43_linked_centroid_shuffle",
         # modules changed in r5: dedup.py / textstats.py / similarity.py
         "dd10_substring_windows", "ta09_tfidf_topk",
         "ss05_cosine_topk_blocked", "ss01_cosine_topk",
