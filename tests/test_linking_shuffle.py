@@ -292,3 +292,17 @@ def test_oracle_refuses_rounded_redirect_ids():
     )
     with _pytest.raises(ValueError, match="2\\^53"):
         oracle.canonical_map({"entities": lossy})
+
+
+def test_linking_partition_count_invariance(spark, corpus):
+    """Linked-mention floats must not depend on the layout partition
+    count (the driver runs local[32], the mirror local[8]; a
+    partition-sensitive kernel would be locally green and
+    driver-red). Per-mention math is partition-independent by design
+    — pin it across a 6x partitioning spread."""
+    conv, kb = corpus
+    gaz_bc, evec_bc = linking.build_broadcasts(spark, kb)
+    a = _rows(linking.link_mentions(conv, gaz_bc, evec_bc, 3, "centroid"))
+    b = _rows(linking.link_mentions(conv, gaz_bc, evec_bc, 18, "centroid"))
+    assert a, "invariance test needs non-empty output"
+    assert a == b
