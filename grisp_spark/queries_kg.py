@@ -158,6 +158,41 @@ def kg05_adjacency_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dense_ids(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
+    """Two-phase deterministic dense ids — the 1-based global rank by
+    ``order_cols`` (rows unique on the keys) computed WITHOUT an
+    unpartitioned window (the VERDICT r5 scale fix: `row_number()
+    OVER (ORDER BY ...)` funnels the whole table through one task).
+
+    Phase 1 groups by the 2-char prefix of the major key and collects
+    the tiny per-prefix count vector — bounded by the prefix alphabet,
+    not by the data, the same driver-size class as ta09's 1-row N.
+    Phase 2 ranks within each prefix group (a PARTITIONED window, so
+    parallelism = number of prefixes and per-task rows = the largest
+    prefix group) and adds the cumulative count of all earlier
+    prefixes map-side via a broadcast join. Character-prefix grouping
+    is order-consistent with the major key (UTF-8 byte order preserves
+    codepoint order, so a < b implies prefix(a) <= prefix(b)), hence
+    rank-within-prefix + offset == the global row_number — the DuckDB
+    oracles keep their `row_number() OVER (ORDER BY ...)` replay
+    byte-for-byte unchanged. Callers cache ``df`` first so the count
+    job doesn't recompute the upstream aggregation."""
+    spark = df.sparkSession
+    major = order_cols[0]
+    base = df.withColumn("_pref", F.substring(F.col(major), 1, 2))
+    offs, acc = [], 0
+    for r in base.groupBy("_pref").count().orderBy("_pref").collect():
+        offs.append((r["_pref"], acc))
+        acc += r["count"]
+    off_df = spark.createDataFrame(offs, "_pref string, _off long")
+    w = W.partitionBy("_pref").orderBy(*order_cols)
+    return (
+        base.join(F.broadcast(off_df), "_pref")
+        .withColumn(out_col, (F.row_number().over(w) + F.col("_off")).cast("long"))
+        .drop("_pref", "_off")
+    )
+
+
 def _centroid_corpus_kb(spark: SparkSession, sf_dir: str):
     """The kg06/kg08 shared setup: derived transcripts + the
     self-bootstrapped centroid-mode KB (gazetteer = frequent long
@@ -171,12 +206,12 @@ def _centroid_corpus_kb(spark: SparkSession, sf_dir: str):
     are 1.0 and any cosine wins). context_vocab = [token, role] also
     exercises the multi-word entity-centroid fold.
 
-    Entity ids are dense row_number over the AGGREGATED sense table
-    (same justification as kg07: hundreds of rows after the MIN_OCC
-    cut, so the single-partition window is not a scale concern) —
-    xxhash64 ids were dropped because the DuckDB replay has no
-    xxhash64, and dense ids are what let the flagship carry a hash
-    oracle at all."""
+    Entity ids are dense ranks over the AGGREGATED sense table,
+    assigned by the two-phase _dense_ids (partitioned window + prefix
+    offsets — no single-partition funnel even at a 10^8-row
+    multilingual vocabulary). xxhash64 ids were dropped because the
+    DuckDB replay has no xxhash64, and dense ids are what let the
+    flagship carry a hash oracle at all."""
     conv = derive_conversations(spark, sf_dir)
     toks = _turn_tokens(conv).filter(F.length("token") >= 6)
     senses = occ_doc_agg(
@@ -189,15 +224,10 @@ def _centroid_corpus_kb(spark: SparkSession, sf_dir: str):
         .select("token")
     )
     # cached: entities feed three consumers (two broadcast builds +
-    # canonical map) — without the cache the token agg runs 3x
-    ent = (
-        senses.join(labs, "token")
-        .withColumn(
-            "entity_id",
-            F.row_number().over(W.orderBy("token", "role")).cast("long"),
-        )
-        .cache()
-    )
+    # canonical map) plus _dense_ids' count job — without the cache
+    # the token agg runs 4x
+    base = senses.join(labs, "token").cache()
+    ent = _dense_ids(base, ["token", "role"], "entity_id").cache()
     entities = ent.select(
         "entity_id",
         F.initcap("token").alias("canonical_name"),
@@ -263,10 +293,10 @@ def kg07_triples_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     (numpy scoring isn't SQL-expressible).
 
     Portability choices vs kg06: the real boundary tokenizer
-    (spec.BOUNDARY_PATTERN) on both engines, and dense row_number
-    entity ids instead of xxhash64 (DuckDB lacks xxhash64) — the
-    global window is over the aggregated sense table (hundreds of
-    rows after the MIN_OCC cut), not the corpus. Redirect rule:
+    (spec.BOUNDARY_PATTERN) on both engines, and dense rank entity
+    ids instead of xxhash64 (DuckDB lacks xxhash64) — assigned by
+    the two-phase _dense_ids, so no unpartitioned window even when
+    the vocabulary×role sense table is huge. Redirect rule:
     a label's 'tool'-role sense redirects to the label's min-id
     sense — one-level star components exercising the CC machinery
     (deep chains are covered by q13/test_closure)."""
@@ -304,15 +334,10 @@ def _prior_corpus_kb(spark: SparkSession, sf_dir: str):
         .filter(F.col("tot") >= MIN_OCC)
         .select("label")
     )
-    wl = W.partitionBy("label")
-    ent = (
-        senses.join(labs, "label")
-        # global row_number: the sense table is already aggregated and
-        # tiny, so the single-partition window is not a scale concern
-        .withColumn(
-            "entity_id", F.row_number().over(W.orderBy("label", "role")).cast("long")
-        )
-        .withColumn("min_eid", F.min("entity_id").over(wl))
+    # cached so _dense_ids' count job doesn't recompute the token agg
+    base = senses.join(labs, "label").cache()
+    ent = _dense_ids(base, ["label", "role"], "entity_id").withColumn(
+        "min_eid", F.min("entity_id").over(W.partitionBy("label"))
     )
     entities = ent.select(
         "entity_id",

@@ -113,6 +113,27 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_kb_bootstrap_no_single_partition_window(spark, sf_dir):
+    """VERDICT r5 #2: the flagship KB's dense-id assignment must not
+    funnel the sense table through one task. _dense_ids ranks within
+    2-char-prefix partitions + broadcast offsets, so the physical
+    plan of BOTH flagship modes must contain a partitioned Window and
+    no Exchange SinglePartition anywhere (an unpartitioned window is
+    exactly an Exchange SinglePartition followed by WindowExec)."""
+    from grisp_spark import queries_kg
+
+    for build in (queries_kg._centroid_corpus_kb, queries_kg._prior_corpus_kb):
+        _conv, kb = build(spark, sf_dir)
+        plan = _plan(kb["entities"])
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Window" in plan, plan  # the ranking window is still there
+        assert "Exchange hashpartitioning(_pref" in plan, plan
+    # and the final triples plan stays funnel-free too
+    for q in ("q37_kg_triples_flagship", "q38_kg_triples_prior"):
+        plan = _plan(entry_mod.queries()[q](spark, sf_dir))
+        assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_neardup_lsh_is_equijoin(spark, sf_dir):
     """dd07's candidate generation must be a bucket equi-join — the
     O(n²) theta-join shape (BroadcastNestedLoopJoin / CartesianProduct)
