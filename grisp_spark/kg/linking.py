@@ -194,9 +194,10 @@ def _pick_batch_centroid(
     ops instead of 3-4 small numpy calls per mention: intern the
     batch's distinct context words into one small float64 matrix,
     GATHER the per-mention context rows by integer index (C-speed —
-    stacking ~1M tiny arrays was 2s/100k rows), one reduceat per chunk
-    for the centroids, one row-wise cosine for all (mention,
-    candidate) pairs, one lexsort argmax (spec.pick_batch).
+    stacking ~1M tiny arrays was 2s/100k rows), one sequential
+    segment-fold (spec.seq_segment_sums) per chunk for the centroids,
+    one row-wise cosine for all (mention, candidate) pairs, one
+    lexsort argmax (spec.pick_batch).
     Bit-identical to the per-row path because spec.centroid/cosine are
     single-segment wrappers of the same batch primitives, gathered
     rows are the exact float32 word vectors (float64 embedding is

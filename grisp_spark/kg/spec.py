@@ -197,8 +197,11 @@ def store_vec_fn(store: dict):
 # The per-row functions below (centroid / cosine) are single-segment
 # wrappers of the SAME primitives, so the row-by-row oracle is
 # bit-identical to the batched kernels by construction. Summation
-# orders are fixed: reduceat is sequential within a segment, and row
-# dots accumulate dimension-sequentially (the same convention as
+# orders are fixed: seq_segment_sums folds each segment SEQUENTIALLY
+# left-to-right (np.add.reduceat is pairwise and was removed in r5
+# precisely because it breaks the DuckDB list_reduce left-fold
+# contract — never reintroduce it), and row dots accumulate
+# dimension-sequentially (the same convention as
 # operators/similarity.py).
 
 

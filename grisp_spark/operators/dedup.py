@@ -231,10 +231,16 @@ def substring_window_pairs(
     # count is skew-safe by construction (hash-agg partially
     # aggregates each key map-side, so the reduce side sees ≤
     # n_partitions rows per key — the "salted two-phase" shape for
-    # free), and the hot set it yields is tiny by definition
-    # (≤ total_windows / df_cap keys can exceed the cap), so the
-    # anti-join broadcasts: the corpus-sized wins frame is filtered
-    # map-side with NO shuffle. Cost: the explode→md5→distinct
+    # free). The hot set is SMALL IN EXPECTATION (≤ total_windows /
+    # df_cap keys can exceed the cap — still potentially billions at
+    # 100 TB with a low cap), so the anti-join carries NO forced
+    # broadcast hint: AQE sees the agg output's actual runtime size
+    # and converts to a broadcast-hash anti-join when it fits (the
+    # common case — wins filtered map-side via the local shuffle
+    # reader), and degrades gracefully to a shuffled anti-join when a
+    # pathological corpus/df_cap pushes the hot set past the
+    # broadcast threshold, instead of OOMing the driver on a forced
+    # hint (ADVICE r5). Cost: the explode→md5→distinct
     # subtree is evaluated once for the hot-set agg and once for the
     # self-join input (whose two aliases share one ReusedExchange) —
     # both map-parallel linear passes, vs. the window shape's
@@ -245,7 +251,7 @@ def substring_window_pairs(
         .filter(F.col("df") > df_cap)
         .select("win")
     )
-    wins = wins.join(F.broadcast(hot), "win", "left_anti")
+    wins = wins.join(hot, "win", "left_anti")
     a, b = wins.alias("a"), wins.alias("b")
     return (
         a.join(
@@ -306,11 +312,13 @@ def decontaminate_flags(
     substring_window_pairs."""
     bench = _window_hashes(benchmark, n).select("g").distinct()
     corpus = _window_hashes(docs, n)
+    # no trailing orderBy: the operator composes (build_training_corpus
+    # anti-joins on it, discarding order) — presentation sort lives in
+    # the dd12 query wrapper (ADVICE r5)
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
-        .orderBy("doc_id")
     )
 
 

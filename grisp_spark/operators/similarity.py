@@ -250,7 +250,15 @@ def kmeans_centroids(
     the driver in numpy (k-means++ init from a seeded PCG64, Lloyd
     iterations with argmax-cosine assignment, ties to the lowest cell,
     empty cells keep their previous centroid) — deterministic end to
-    end, so the recall ladder stays pinned.
+    end PER BLAS BUILD, so the recall ladder stays pinned on a given
+    machine. Scope note (ADVICE r5): the `X @ C.T` / `mean` / `norm`
+    reductions here use BLAS/pairwise summation whose association is
+    build-dependent, unlike the association-pinned spec kernels — if
+    cross-machine bit-identity of the CENTROIDS is ever needed, swap
+    these for spec.seq_dot_rows-style sequential folds. The ss06
+    oracle sidesteps this by baking the trained centroids into the
+    SQL as literals (see queries_traindata), so the certified
+    probe/assign/top-k path is centroid-value-independent.
 
     10^9-vector regime: centroid quality needs ~100-1000 samples per
     cell, not a corpus fraction — sample_n = max(256·n_cells, 10^5)
@@ -270,6 +278,17 @@ def kmeans_centroids(
     # stable training order independent of collection order
     rows = sorted(rows, key=lambda r: r.vec_id)
     X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    return _kmeans_train(X, n_cells, iters, seed)
+
+
+def _kmeans_train(X: np.ndarray, n_cells: int, iters: int, seed: int):
+    """The numpy Lloyd trainer proper, on the ALREADY-SORTED sample
+    matrix. Factored out of kmeans_centroids so the ss06 oracle
+    builder (which loads the same rows via DuckDB — when the corpus
+    fits inside KMEANS_SAMPLE the 'sample' is just the full table
+    sorted by vec_id) calls the IDENTICAL code path: same BLAS build,
+    same association order, so the centroids the oracle bakes into
+    SQL are bit-equal to the ones the Spark query trains."""
     nrm = np.linalg.norm(X, axis=1)
     X = X[nrm > 0] / nrm[nrm > 0, None]
     n = X.shape[0]

@@ -185,10 +185,14 @@ def ss06_ivf_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ss04's IVF search with REAL trained centroids: spherical
     k-means on a deterministic corpus sample
     (similarity.kmeans_centroids — VERDICT r4 #8) instead of the
-    first-n stand-in. Rows-only by design: the Lloyd iterations are
-    numpy, not SQL; the oracle-checked ss03/ss04 keep the
-    SQL-expressible head centroids, and the recall ladder pins this
-    variant's quality (tests/test_similarity_recall.py)."""
+    first-n stand-in. The Lloyd iterations themselves are numpy, not
+    SQL — but the search is certified anyway (VERDICT r5 #4): the
+    oracle builder (_ss06_oracle) re-trains the centroids through the
+    IDENTICAL numpy path and bakes them into the SQL as exact
+    m·2^e double constructions, so the probe/assignment/top-k chain
+    is hash-checked the same way ss04's is. The recall ladder
+    additionally pins this variant's quality
+    (tests/test_similarity_recall.py)."""
     return similarity.topk_ivf(
         load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5, dim=64,
         probe=2, centroids="kmeans",
@@ -899,20 +903,68 @@ ORACLES["dd11_incremental_dedup"] = """
 """
 
 
+_DD12_TAIL = " alpha bravo charlie delta echo foxtrot golf"
+
+
 def dd12_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing any verbatim 8-token
     n-gram with the 'evaluation set' (every 50th doc stands in for a
     held-out benchmark) are flagged with their distinct-overlap count.
     The benchmark n-gram hash set broadcasts; the corpus scan is
-    map-side."""
+    map-side.
+
+    The raw testdata yields almost no natural 8-gram overlap (one
+    contaminated doc at sf0.01 — a near-vacuous oracle, ADVICE r5),
+    so contamination is SEEDED deterministically, the ta11
+    derived-input technique: every benchmark doc b gets a unique
+    8-token canary phrase ('eval{b}' + 7 fixed tokens) appended, and
+    corpus doc d gets the canaries of benchmark docs 50·((d+k) % 10)
+    for k = 1..(d % 4) appended — so ~3/4 of the corpus is flagged
+    with n_hits spanning 1..3 (+ any natural overlap) and the oracle
+    certifies a real n_hits distribution, not a single row."""
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 50 == 0)
-    corpus_docs = docs.filter(F.col("doc_id") % 50 != 0)
-    return dedup.decontaminate_flags(corpus_docs, bench)
+
+    def canary(b):
+        return F.concat(F.lit(" eval"), b.cast("string"), F.lit(_DD12_TAIL))
+
+    d = F.col("doc_id")
+    corp_tail = F.concat(
+        *[
+            F.when(d % 4 >= k, canary(((d + k) % 10) * 50)).otherwise(F.lit(""))
+            for k in (1, 2, 3)
+        ]
+    )
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 50 == 0, canary(d)).otherwise(corp_tail),
+        ).alias("text"),
+    )
+    bench = seeded.filter(d % 50 == 0)
+    corpus_docs = seeded.filter(d % 50 != 0)
+    return dedup.decontaminate_flags(corpus_docs, bench).orderBy("doc_id")
 
 
-ORACLES["dd12_decontaminate"] = """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ORACLES["dd12_decontaminate"] = f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 50 = 0
+                    THEN ' eval' || CAST(doc_id AS VARCHAR) || '{_DD12_TAIL}'
+                    ELSE
+                      CASE WHEN doc_id % 4 >= 1 THEN ' eval'
+                           || CAST(((doc_id + 1) % 10) * 50 AS VARCHAR)
+                           || '{_DD12_TAIL}' ELSE '' END
+                   || CASE WHEN doc_id % 4 >= 2 THEN ' eval'
+                           || CAST(((doc_id + 2) % 10) * 50 AS VARCHAR)
+                           || '{_DD12_TAIL}' ELSE '' END
+                   || CASE WHEN doc_id % 4 >= 3 THEN ' eval'
+                           || CAST(((doc_id + 3) % 10) * 50 AS VARCHAR)
+                           || '{_DD12_TAIL}' ELSE '' END
+               END AS text
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM seeded),
     g AS (
         SELECT DISTINCT doc_id, md5(array_to_string(w[i : i + 7], ' ')) AS g
         FROM toks, UNNEST(generate_series(1, len(w) - 7)) t(i)
@@ -1081,6 +1133,95 @@ ORACLES["ta10_context_chunks"] = f"""
            array_to_string(chunk, chr(10)) AS text
     FROM chunks ORDER BY conv_id, chunk_start
 """
+
+def _ss06_oracle() -> str | None:
+    """Trained-centroid IVF oracle (VERDICT r5 #4): certify ss06's
+    probe/assignment/top-k search exactly the way ss04's oracle does,
+    with the k-means centroids BAKED INTO the SQL. The Lloyd training
+    isn't SQL — but it is deterministic, so the builder re-trains it
+    through similarity._kmeans_train on the very rows the Spark query
+    samples (the corpus fits inside KMEANS_SAMPLE at test/driver SFs,
+    so the deterministic 'sample' is simply the full table sorted by
+    vec_id — no xxhash64 replication needed) and emits each centroid
+    component as an exact m·2^e double construction. DuckDB's float
+    LITERAL parser is 1-ulp-off on ~12% of shortest-repr doubles
+    (measured; the r5 lesson), but CAST(m AS DOUBLE) * pow(2.0, e)
+    round-trips every IEEE-754 double exactly, so the baked centroids
+    are bit-equal to Spark's and even near-tie cell assignments
+    cannot diverge. The output floats (cos) are computed in-engine
+    from the embeddings table on both sides, as always.
+
+    Data-dependent by construction: valid at the driver/mirror SF
+    (sf0.01, tests/conftest.SF_CORRECT) whose embeddings the builder
+    reads. Returns None (→ rows-only fallback) if that parquet is
+    unavailable or ever outgrows KMEANS_SAMPLE."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    try:
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{path}' ORDER BY vec_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows or len(rows) > similarity.KMEANS_SAMPLE:
+        return None
+    X = np.stack([np.asarray(e, dtype=np.float64) for _, e in rows])
+    cents = similarity._kmeans_train(
+        X, 4, similarity.KMEANS_ITERS, similarity.KMEANS_SEED
+    )
+
+    def lit(v: float) -> str:
+        if v == 0.0:
+            return "CAST(0 AS DOUBLE)"
+        m, e = math.frexp(v)
+        return f"(CAST({int(m * (1 << 53))} AS DOUBLE) * pow(2.0, {e - 53}))"
+
+    values = ",\n            ".join(
+        f"({cid}, [{', '.join(lit(x) for x in vec)}])" for cid, vec in cents
+    )
+    return f"""
+        WITH cents AS (
+            SELECT * FROM (VALUES {values}) AS t(cid, c_emb)
+        ),
+        ranked_cells AS (
+            SELECT e.vec_id, e.embedding, c.cid AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'c.c_emb')} DESC,
+                                c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM ranked_cells WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id, embedding, cell FROM ranked_cells
+            WHERE rn <= 2 AND vec_id < 5
+        ),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   {_cos('q.embedding', 'c.embedding')} AS cos
+            FROM probes q JOIN assigned c
+              ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, c_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id ASC) AS rank
+            FROM scored
+        )
+        SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """
+
+
+_SS06_SQL = _ss06_oracle()
+if _SS06_SQL is not None:
+    ORACLES["ss06_ivf_ann_kmeans"] = _SS06_SQL
+
 
 QUERIES = {
     name: fn

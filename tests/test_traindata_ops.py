@@ -51,8 +51,10 @@ def test_substring_df_filter_skew_safe(spark):
     by `win` — that funnels every row of a hot key (the boilerplate
     blocks the cap exists to drop) into one task at corpus scale
     (VERDICT r4 #3). The skew-safe shape: map-side-partial count agg →
-    tiny hot set → BROADCAST anti-join (wins filtered map-side, no
-    shuffle). A corpus where one window appears in EVERY doc must
+    hot set → anti-join with NO forced broadcast hint (AQE converts
+    to broadcast when the runtime hot set fits, and falls back to a
+    shuffled anti-join instead of a driver OOM when it doesn't —
+    ADVICE r5). A corpus where one window appears in EVERY doc must
     still drop it under the cap."""
     docs = spark.createDataFrame(
         [
@@ -65,7 +67,13 @@ def test_substring_df_filter_skew_safe(spark):
     df = dedup.substring_window_pairs(docs, window=8, df_cap=10)
     plan = physical_plan(df)
     assert "Window" not in plan, plan  # no per-key single-task funnel
-    assert "BroadcastExchange" in plan, plan  # hot set broadcasts
+    assert "HashAggregate" in plan, plan  # hot set from partial agg
+    # no FORCED broadcast hint on the hot set (AQE may still pick a
+    # broadcast join at runtime when the hot set is actually small)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, (
+        logical
+    )
     # the shared header window (df=20 > cap) is dropped; the per-doc
     # unique tails share nothing → no surviving pairs
     assert df.count() == 0
