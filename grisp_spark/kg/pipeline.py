@@ -25,7 +25,14 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grisp_spark.kg import canonicalize, linking, materialize, stats, triples as triples_mod
+from grisp_spark.kg import (
+    canonicalize,
+    linking,
+    linking_shuffle,
+    materialize,
+    stats,
+    triples as triples_mod,
+)
 
 LINEAGE_DIR = "_lineage"
 
@@ -97,12 +104,14 @@ class KGPipeline:
         out_dir: str,
         n_buckets: int = 8,
         n_partitions: int | None = None,
+        broadcast_label_limit: int = linking_shuffle.BROADCAST_LABEL_LIMIT,
     ):
         self.spark = spark
         self.data_dir = data_dir
         self.out_dir = out_dir
         self.n_buckets = n_buckets
         self.n_partitions = n_partitions
+        self.broadcast_label_limit = broadcast_label_limit
         self.lineage = Lineage(out_dir)
 
     # -- inputs ------------------------------------------------------------
@@ -149,14 +158,30 @@ class KGPipeline:
                 "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))
             )
             kb = self.kb()
-            gaz_bc, evec_bc = linking.build_broadcasts(self.spark, kb)
+            # adaptive plan choice, decided ONCE for the whole stage
+            # (mirrors linking_shuffle.link_mentions_adaptive — the
+            # 64M-label regime of util/LabelCache.java:46): while the
+            # gazetteer fits executor memory, collect it to a broadcast
+            # dict and link map-side; past the limit, never collect —
+            # every bucket goes through the distributed shuffle-join
+            # plan instead. Parity across regimes is pinned by
+            # tests/test_kg_pipeline.py::test_pipeline_shuffle_regime.
+            use_broadcast = kb["label_stats"].count() <= self.broadcast_label_limit
+            if use_broadcast:
+                gaz_bc, evec_bc = linking.build_broadcasts(self.spark, kb)
             for b in todo:
                 t0 = time.monotonic()
                 part = conv.filter(F.col("bucket") == b).drop("bucket")
                 rows_in = part.count()
-                linked_b = linking.link_mentions(
-                    part, gaz_bc, evec_bc, self.n_partitions
-                ).withColumn("bucket", F.lit(b))
+                if use_broadcast:
+                    linked_b = linking.link_mentions(
+                        part, gaz_bc, evec_bc, self.n_partitions
+                    )
+                else:
+                    linked_b = linking_shuffle.link_mentions_shuffle(
+                        part, kb, self.n_partitions
+                    )
+                linked_b = linked_b.withColumn("bucket", F.lit(b))
                 # dynamic partition overwrite: replaces ONLY bucket=b,
                 # so a bucket that crashed mid-write (files on disk,
                 # no lineage record) is cleanly rewritten on resume

@@ -172,6 +172,35 @@ def test_sanity_no_violations(pipeline_result):
     assert sanity_violations(pipeline_result["label_stats"]).count() == 0
 
 
+def test_pipeline_shuffle_regime(spark, dataset, pipeline_result):
+    """The pipeline's own adaptive escape hatch (VERDICT r5 #8): with
+    broadcast_label_limit forced to 0 every bucket of stage_linked
+    must route through the distributed shuffle-join linking plan
+    (linking_shuffle.link_mentions_shuffle — the 64M-label regime of
+    util/LabelCache.java:46, where collecting the gazetteer to a
+    broadcast dict is impossible) and still produce the IDENTICAL
+    staged outputs: same triples, same linked-mention scores."""
+    import shutil
+
+    out = OUT + "_shuffle_regime"
+    shutil.rmtree(out, ignore_errors=True)
+    pipe = KGPipeline(
+        spark, dataset, out, n_buckets=4, n_partitions=8,
+        broadcast_label_limit=0,
+    )
+    res = pipe.run(resume=False)
+    assert _triples_set(res["triples"]) == _triples_set(
+        pipeline_result["triples"]
+    )
+    # linked mentions bit-identical across regimes (scores included —
+    # the shuffle kernel shares spec's batch primitives)
+    cols = ["conv_id", "turn_idx", "begin", "end", "surface", "entity_id", "score"]
+    a = {tuple(r) for r in res["linked"].select(*cols).collect()}
+    b = {tuple(r) for r in pipeline_result["linked"].select(*cols).collect()}
+    assert a == b
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def test_fused_matches_staged_and_oracle(spark, dataset, pipeline_result, oracle_result):
     """The fused map-side path (one Arrow pass, no post-layout
     shuffles) must emit the identical triple set as the staged
