@@ -227,11 +227,15 @@ def mm01_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm02_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame hashes ARE oracle-checkable: the payload is utf-8 text
-    (ASCII in this corpus, so DuckDB's char-based substr slices the
-    same bytes) and frames are md5 of byte slices."""
+    """Frame sampling over REAL decoded pixels (VERDICT r5 #7):
+    synth_png packs spec-valid grayscale PNGs (zlib IDAT, all five
+    scanline filters, correct CRC32s) whose pixel values are a closed
+    form of the doc columns; sample_frames_pixels must actually
+    inflate + unfilter the bytes to produce per-band integer pixel
+    stats, which the oracle recomputes from the formula in SQL — a
+    wrong unfilter cannot match."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.sample_frames(multimodal.attach_payload(docs)).orderBy(
+    return multimodal.sample_frames_pixels(multimodal.synth_png(docs)).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -246,9 +250,12 @@ def mm03_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stub: byte decimation + rehash (thumbnailer shape)."""
+    """Mean-pool thumbnailing on REAL decoded PNG pixels (VERDICT r5
+    #7): box-reduce each decoded image to a ≤4×4 grid of exact integer
+    pixel sums (what a mean-pool resize computes before the divide),
+    oracle-recomputed from the pixel formula in SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.resize(multimodal.attach_payload(docs)).orderBy("doc_id")
+    return multimodal.resize_pixels(multimodal.synth_png(docs)).orderBy("doc_id")
 
 
 _SHINGLES = """
@@ -694,18 +701,28 @@ ORACLES: dict[str, str] = {
         FROM rec2 ORDER BY shard, doc_id
     """,
     "mm02_sample_frames": """
-        -- byte slices expressed as substr: valid because the corpus is
-        -- ASCII (octet_length == length), asserted by the Spark side's
-        -- identical md5 over true payload bytes
-        WITH b AS (
-            SELECT doc_id, text, length(text) AS n FROM documents
-            WHERE length(text) > 0
+        -- real-pixel oracle: recompute the decoded image from the
+        -- synth_png closed form pixel(y,x) = (7·doc_id+3x+5y) mod 251
+        -- and aggregate the same ⌈h/3⌉-row bands the kernel emits —
+        -- the Spark side must zlib-inflate + unfilter to match
+        WITH d AS (
+            SELECT doc_id, doc_id % 48 + 1 AS w, n_chars % 32 + 1 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h, y, x,
+                   (7 * doc_id + 3 * x + 5 * y) % 251 AS v
+            FROM d,
+                 UNNEST(generate_series(0, CAST(h - 1 AS BIGINT))) t1(y),
+                 UNNEST(generate_series(0, CAST(w - 1 AS BIGINT))) t2(x)
         )
-        SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-               md5(substr(text, i * greatest(n // 3, 1) + 1,
-                          greatest(n // 3, 1))) AS frame_hash
-        FROM b, UNNEST(generate_series(0, 2)) t(i)
-        WHERE i < least(3, n)
+        SELECT doc_id,
+               CAST(y // ((h + 2) // 3) AS INTEGER) AS frame_idx,
+               CAST(count(DISTINCT y) AS INTEGER) AS band_h,
+               CAST(sum(v) AS BIGINT) AS px_sum,
+               CAST(min(v) AS INTEGER) AS px_min,
+               CAST(max(v) AS INTEGER) AS px_max
+        FROM px GROUP BY doc_id, y // ((h + 2) // 3)
         ORDER BY doc_id, frame_idx
     """,
     "mm03_extract_features": """
@@ -737,20 +754,32 @@ ORACLES: dict[str, str] = {
         FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id
     """,
     "mm04_resize": """
-        WITH b AS (
-            SELECT doc_id, text, length(text) AS n,
-                   CAST(ceil(length(text) / 16.0) AS BIGINT) AS step
-            FROM documents WHERE length(text) > 0
-        ), s AS (
-            SELECT doc_id,
-                   list_transform(range(0, (n - 1) // step + 1),
-                                  i -> substr(text, i * step + 1, 1)) AS px
-            FROM b
+        -- real-pixel oracle: the ≤4×4 mean-pool box sums from the
+        -- synth_png pixel formula; box assignment (y·4)//h, (x·4)//w
+        -- mirrors resize_pixels exactly
+        WITH d AS (
+            SELECT doc_id, doc_id % 48 + 1 AS w, n_chars % 32 + 1 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h, y, x,
+                   (7 * doc_id + 3 * x + 5 * y) % 251 AS v
+            FROM d,
+                 UNNEST(generate_series(0, CAST(h - 1 AS BIGINT))) t1(y),
+                 UNNEST(generate_series(0, CAST(w - 1 AS BIGINT))) t2(x)
+        ),
+        boxed AS (
+            SELECT doc_id, w, h, (y * 4) // h AS by, (x * 4) // w AS bx,
+                   sum(v) AS s
+            FROM px GROUP BY doc_id, w, h, (y * 4) // h, (x * 4) // w
         )
-        SELECT doc_id, CAST(len(px) AS INTEGER) AS out_w,
-               CAST(1 AS INTEGER) AS out_h,
-               md5(array_to_string(px, '')) AS pixel_hash
-        FROM s ORDER BY doc_id
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               CAST(least(w, 4) AS INTEGER) AS out_w,
+               CAST(least(h, 4) AS INTEGER) AS out_h,
+               CAST(sum(s) AS BIGINT) AS px_sum,
+               string_agg(CAST(s AS VARCHAR), '|' ORDER BY by, bx) AS box_sums
+        FROM boxed GROUP BY doc_id, w, h ORDER BY doc_id
     """,
     "mm01_decode_metadata": """
         SELECT doc_id,

@@ -221,3 +221,65 @@ def test_prop_never_raises(garbage):
     w, h, fmt = parse_media_header(garbage)
     assert fmt in ("png", "jpeg", "wav", "empty", "unknown")
     assert w >= 0 and h >= 0
+
+
+# ---- real PNG pixel codec (VERDICT r5 #7): encode → decode ----------
+
+import numpy as np  # noqa: E402
+
+from grisp_spark.operators.multimodal import (  # noqa: E402
+    _png_pixels,
+    png_decode,
+    png_encode,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_prop_png_pixel_roundtrip(w, h, seed):
+    """png_encode (all five scanline filters, real CRCs) must invert
+    through png_decode's zlib + per-row unfilter exactly — arbitrary
+    pixel content, not just the synth formula."""
+    px = (
+        np.random.default_rng(seed)
+        .integers(0, 256, size=(h, w))
+        .astype(np.uint8)
+    )
+    out = png_decode(png_encode(px))
+    assert out is not None and out.shape == (h, w) and (out == px).all()
+
+
+def test_png_pixel_filters_all_exercised():
+    """h ≥ 5 cycles filter types 0-4; a decoder missing any unfilter
+    branch cannot reproduce the matrix. Also: the encoded stream is a
+    header-parser-valid PNG (shared schema with the header path)."""
+    px = _png_pixels(123, 48, 17)
+    b = png_encode(px)
+    assert parse_media_header(b) == (48, 17, "png")
+    assert (png_decode(b) == px).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(garbage=st.binary(max_size=200))
+def test_prop_png_decode_never_raises(garbage):
+    out = png_decode(garbage)
+    assert out is None or out.dtype == np.uint8
+
+
+def test_png_decode_truncation_robust():
+    b = png_encode(_png_pixels(5, 10, 10))
+    # cuts through the signature, IHDR, and mid-IDAT must all yield
+    # None; a cut that only loses IEND still decodes (the full IDAT
+    # stream is present — same behavior as a streaming decoder)
+    for cut in (0, 7, 8, 20, 33, 60):
+        assert png_decode(b[:cut]) is None
+    assert (png_decode(b[: len(b) - 5]) == _png_pixels(5, 10, 10)).all()
+    # bit-flip inside IDAT → zlib error or stride mismatch, never raise
+    mut = bytearray(b)
+    mut[45] ^= 0xFF
+    out = png_decode(bytes(mut))
+    assert out is None or out.shape == (10, 10)
