@@ -33,71 +33,76 @@ from grisp_spark import (  # noqa: E402
     queries_traindata,
 )
 
-# The 50 checks the driver evaluates this round, in order. Round-5
-# priorities (VERDICT r4 #2/#5): the flagship q37 now carries a full
-# DuckDB hash oracle (centroid scoring replayed in SQL) and q42 adds
-# float-level score certification; dd11 enters per the new-query
-# policy; 10 of the 20 r3-rotated rows return (q04-q06, q10-q12,
-# q14-q17). The KG spine q32-q41, every dd/ss/ta row whose implementing
-# module changed this round (dedup/textstats/similarity/linking/spec),
-# stays in. Rotated OUT — all green r4 on modules untouched in r5:
-# q26-q31 (backbone + sources), mm01-mm04 (multimodal parsers),
-# ta05/ta06 (corpus sampling/packing; ta07 keeps the composite
-# pipeline in-window), and q19/dd09 (asof join, survivor selection —
-# swapped for the round-5-new dd12 decontamination and ta11 PII
-# scrub per the new-query policy). Due back by r6: q18, q20-q25,
-# dd06, ss02, ss03; by r7: the rows rotated out this round.
+# The 50 checks the driver evaluates this round, in order. Round-6
+# priorities (VERDICT r5 #1/#4/#5): the 10 rows at their two-round
+# rotation deadline return (q18, q20-q25, dd06, ss02, ss03 — last
+# driver-green r3); q44 (staged-pipeline path vs the flagship hash
+# oracle) and ss06 (trained-centroid IVF, newly oracled) enter per
+# the new-query policy. Every query touching a module changed in r6
+# stays in: the dense-id KB bootstrap rewrite (queries_kg.py) keeps
+# q37-q39/q42-q44 in; dd10/dd12 (dedup.py edits) and the kg spine
+# stay. mm02/mm04 were due back r7 but return EARLY: their kernels
+# were rewritten this round onto real PNG pixel decode, and a changed
+# callable must face the driver. Rotated OUT — all green r5
+# hash-exact on code untouched since: q02, q04-q06, q08, q10-q12,
+# q14/q15 (relational core, queries_relational*.py untouched),
+# q35/q36 (token co-occurrence builds — independent of the changed
+# KB bootstraps), q41 (rollup), dd02 (its signatures are exercised by
+# dd03's LSH pairs every round; the r6 dedup.py edits touched only
+# substring_window_pairs/decontaminate_flags, both in-window via
+# dd10/dd12). Due back by r7: q26-q31, mm01/mm03, ta05-ta07, q19,
+# dd09, q40; by r8: the 14 rotated out this round.
 DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary",
-    "q02_global_counters",
     "q03_broadcast_dim_join",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q06_full_outer_merge",
     "q07_is_primary_topk",
-    "q08_adjacency_out",
     "q09_sessionize",
-    "q10_distinct_pairs",
-    "q11_title_normalize",
-    "q12_json_extract",
     "q13_redirect_closure",
-    "q14_classify",
-    "q15_props_map",
     "q16_salted_stats",
     "q17_set_ops",
+    "q18_percent_escape",
+    "q20_pivot",
+    "q21_cube",
+    "q22_running_window",
+    "q23_dedup_keep_best",
+    "q24_approx_sketches",
+    "q25_exact_percentiles",
     "q32_kg_label_stats",
     "q33_kg_label_senses",
     "q34_kg_entity_labels",
-    "q35_kg_cooccurrence_edges",
-    "q36_kg_adjacency_capped",
     "q37_kg_triples_flagship",
     "q38_kg_triples_prior",
     "q39_triples_prior_shuffle",
-    "q41_timeseries_rollup",
     "q42_kg_linked_centroid",
     "q43_linked_centroid_shuffle",
+    "q44_triples_staged",
     "dd01_exact_dedup",
-    "dd02_minhash_signatures",
     "dd03_minhash_lsh_pairs",
     "dd04_ngram_jaccard",
     "dd05_simhash",
+    "dd06_embed_neardup",
     "dd07_embed_neardup_lsh",
     "dd08_embed_neardup_lsh_multi",
     "dd10_substring_windows",
     "dd11_incremental_dedup",
     "dd12_decontaminate",
     "ss01_cosine_topk",
+    "ss02_lsh_ann",
+    "ss03_ivf_ann",
     "ss04_ivf_ann_multiprobe",
     "ss05_cosine_topk_blocked",
+    "ss06_ivf_ann_kmeans",
     "ta01_lang_id",
     "ta02_quality",
     "ta03_token_counts",
     "ta04_fingerprint",
-    "ta12_corpus_hygiene",
     "ta08_repetition",
     "ta09_tfidf_topk",
     "ta10_context_chunks",
     "ta11_pii_scrub",
+    "ta12_corpus_hygiene",
+    "mm02_sample_frames",
+    "mm04_resize",
 ]
 
 

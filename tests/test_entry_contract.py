@@ -62,29 +62,31 @@ def test_driver_window_is_first_50():
 
 
 def test_driver_window_covers_kg_spine_and_recent_rewrites():
-    """Round-5 rotation intent: the KG spine (its spec/linking kernels
-    changed this round — word_vec + sequential folds), the newly
-    hash-certified flagship + its score twin, dd11 (new-query policy),
-    every dd/ss/ta row whose implementing module changed in r5, and
-    the 10 returning r3-rotated rows must face the driver."""
+    """Round-6 rotation intent: the 10 rows at their two-round
+    rotation deadline (last driver-green r3) return, q44/ss06 enter
+    per the new-query policy, and every query whose implementing code
+    changed in r6 (the dense-id KB bootstrap rewrite in queries_kg.py,
+    the dd10/dd12 edits in dedup.py) faces the driver."""
     window = set(entry_mod.DRIVER_WINDOW)
     must_run = {
-        # KG spine — spec.word_vec/seq_segment_sums changed this round
-        "q32_kg_label_stats", "q33_kg_label_senses", "q34_kg_entity_labels",
-        "q35_kg_cooccurrence_edges", "q36_kg_adjacency_capped",
+        # rotation-deadline returns (ledger: due back by r6)
+        "q18_percent_escape", "q20_pivot", "q21_cube",
+        "q22_running_window", "q23_dedup_keep_best",
+        "q24_approx_sketches", "q25_exact_percentiles",
+        "dd06_embed_neardup", "ss02_lsh_ann", "ss03_ivf_ann",
+        # new-query policy: staged-pipeline driver row + trained-
+        # centroid IVF with its new baked-centroid oracle
+        "q44_triples_staged", "ss06_ivf_ann_kmeans",
+        # dense-id KB bootstrap rewrite (queries_kg.py r6) — every
+        # query built on _centroid_corpus_kb/_prior_corpus_kb
         "q37_kg_triples_flagship", "q38_kg_triples_prior",
-        "q39_triples_prior_shuffle",
-        # newly certified flagship scores + r5-new operators
-        "q42_kg_linked_centroid", "dd11_incremental_dedup",
-        "dd12_decontaminate", "ta11_pii_scrub", "ta12_corpus_hygiene",
+        "q39_triples_prior_shuffle", "q42_kg_linked_centroid",
         "q43_linked_centroid_shuffle",
-        # modules changed in r5: dedup.py / textstats.py / similarity.py
-        "dd10_substring_windows", "ta09_tfidf_topk",
-        "ss05_cosine_topk_blocked", "ss01_cosine_topk",
-        # returning r3-rotated rows (ledger: due back by r6)
-        "q04_semi_join", "q05_anti_join", "q06_full_outer_merge",
-        "q10_distinct_pairs", "q11_title_normalize", "q12_json_extract",
-        "q14_classify", "q15_props_map", "q16_salted_stats", "q17_set_ops",
+        # dedup.py changed in r6 (substring_window_pairs hot-set
+        # anti-join, decontaminate_flags composition)
+        "dd10_substring_windows", "dd12_decontaminate",
+        # kernels rewritten in r6 onto real PNG pixel decode
+        "mm02_sample_frames", "mm04_resize",
     }
     assert must_run <= window, sorted(must_run - window)
 
