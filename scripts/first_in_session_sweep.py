@@ -29,16 +29,22 @@ if name == "q39_triples_prior_shuffle":
         spark.conf.set(k, "-1")
 df = e.queries()[name](spark, sys.argv[2])
 if name == "q39_triples_prior_shuffle":
-    import re
     from grisp_spark.plans import physical_plan
     plan = physical_plan(df)
-    # the ONLY allowed broadcast is rewrite_linked's explicit hint on
-    # the canonical map (canonicalize.py:56) — the KB/linking joins
-    # must all be shuffle joins under the disabled thresholds. Count
-    # DISTINCT exchanges: a cached/union subtree renders the same
-    # broadcast (same plan_id) several times in the plan text.
-    bxids = set(re.findall(r"BroadcastExchange .*?\[plan_id=(\d+)\]", plan))
-    assert len(bxids) <= 1, plan
+    # under the disabled thresholds every BroadcastExchange must come
+    # from an explicit hint on a provably tiny frame: rewrite_linked's
+    # canonical map (canonicalize.py:69, joins on entity_id and
+    # projects canonical_id) or _dense_ids' prefix-offset vector
+    # (queries_kg.py:201, an ExistingRDD scan of (_pref, _off) —
+    # alphabet-bounded; it renders once per consuming subtree with a
+    # distinct plan_id, so identify builds by content, don't count).
+    # The KB/linking joins themselves must all be shuffle joins.
+    lines = plan.split("\\n")
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        subtree = "\\n".join(lines[i : i + 4])
+        assert "_pref#" in subtree or "canonical_id#" in subtree, subtree
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 df.write.format("noop").mode("overwrite").save()
