@@ -52,6 +52,26 @@ SCALE_PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3"))
 SCALE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "32"))
 
 
+def _steal_ticks() -> int | None:
+    """Hypervisor steal ticks (/proc/stat aggregate cpu line, col 9).
+    Co-tenant contention on this box is invisible to guest `ps` but
+    shows here (BENCH/BASELINE.md r5/r6 reconciliations); sampling it
+    around each run is what makes round-over-round minima comparable,
+    so every bench JSON self-annotates. USER_HZ=100 → ticks/100 =
+    CPU-seconds stolen."""
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _steal_cpu_s(t0: int | None, t1: int | None) -> float | None:
+    if t0 is None or t1 is None:
+        return None
+    return round((t1 - t0) / 100.0, 1)
+
+
 def _data_dir(n_convs: int) -> str:
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".data", f"bench_conv_{n_convs}"
@@ -166,6 +186,7 @@ def main_bench() -> None:
     qs = entry_mod.queries()
     times: dict[str, float] = {}
     total = 0.0
+    st_start = _steal_ticks()
     for name in HEADLINE:
         t0 = time.monotonic()
         _materialize(qs[name](spark, SF_DIR))
@@ -179,7 +200,9 @@ def main_bench() -> None:
     # only slow a pass down) — r3's driver run read 64.9k turns/s
     # where three clean driver-config runs read 118.6k-183.9k on the
     # identical code (BENCH/BASELINE.md round-4 reconciliation)
+    st_kg = _steal_ticks()
     kg_passes = [run_kg_job(spark, data_dir) for _ in range(2)]
+    st_end = _steal_ticks()
     n_turns = kg_passes[0][0]
     kg_sec = min(s for _, s in kg_passes)
     times["kg_pipeline_synthetic"] = round(kg_sec, 3)
@@ -196,6 +219,8 @@ def main_bench() -> None:
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / kg_sec, 1),
                 "kg_pass_secs": [round(s, 3) for _, s in kg_passes],
+                "steal_cpu_s": _steal_cpu_s(st_start, st_end),
+                "kg_steal_cpu_s": _steal_cpu_s(st_kg, st_end),
                 "protocol": "warmup-isolated queries; kg best-of-2",
             }
         )
@@ -218,15 +243,18 @@ def main_job(cores: int) -> None:
     # higher-parallelism leg hardest — both legs get the identical
     # protocol, all passes are printed for the record
     run_kg_job(spark, data_dir, SCALE_PARTITIONS)
+    st0 = _steal_ticks()
     passes = [
         run_kg_job(spark, data_dir, SCALE_PARTITIONS)
         for _ in range(SCALE_PASSES)
     ]
+    st1 = _steal_ticks()
     n_turns = passes[0][0]
     sec = min(s for _, s in passes)
     print(json.dumps({"cores": cores, "turns": n_turns, "sec": round(sec, 3),
                       "turns_per_sec": round(n_turns / sec, 1),
-                      "pass_secs": [round(s, 3) for _, s in passes]}))
+                      "pass_secs": [round(s, 3) for _, s in passes],
+                      "steal_cpu_s": _steal_cpu_s(st0, st1)}))
 
 
 def main_scaling() -> None:
