@@ -347,9 +347,14 @@ def _prior_corpus_kb(spark: SparkSession, sf_dir: str):
     )
     # cached so _dense_ids' count job doesn't recompute the token agg
     base = senses.join(labs, "label").cache()
+    # ent cached like _centroid_corpus_kb's: it feeds entities,
+    # label_stats AND (via entities) the canonical map, so without the
+    # cache the ranking window + offset join recompute once per
+    # consumer (the kg06 A/B in _dense_ids' docstring measured the
+    # no-ent-cache shape strictly worse)
     ent = _dense_ids(base, ["label", "role"], "entity_id").withColumn(
         "min_eid", F.min("entity_id").over(W.partitionBy("label"))
-    )
+    ).cache()
     entities = ent.select(
         "entity_id",
         F.col("label").alias("canonical_name"),
