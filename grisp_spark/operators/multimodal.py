@@ -18,8 +18,11 @@ frame-sample and resize kernels operate on these REAL decoded pixels,
 and their oracles recompute the exact integer pixel statistics from
 the generation formula in SQL — a wrong unfilter cannot hash-match.
 Only JPEG entropy decode (DCT) and audio/video codecs stay
-header-only: those genuinely need external libs. The byte-histogram
-feature kernel remains a labeled stand-in for learned featurizers."""
+header-only: those genuinely need external libs. The feature kernel
+(``extract_features``) also runs on REAL decoded pixels — 8-bin
+intensity histogram plus horizontal/vertical gradient energy, the
+integer preprocessing a learned featurizer computes; only the learned
+EMBEDDING itself (model weights) stays out of scope."""
 
 from __future__ import annotations
 
@@ -28,29 +31,16 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, format string"
 )
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
 N_FEATURE_BINS = 8
-FEATURE_SCHEMA = "doc_id long, " + ", ".join(
-    f"b{i} int" for i in range(N_FEATURE_BINS)
+FEATURE_SCHEMA = (
+    "doc_id long, n_px int, px_sum long, "
+    + ", ".join(f"h{i} int" for i in range(N_FEATURE_BINS))
+    + ", grad_h long, grad_v long"
 )
-RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, pixel_hash string"
-RESIZE_PIXELS = 16
-
-
-def attach_payload(docs: DataFrame) -> DataFrame:
-    """Synthesize an opaque binary column (utf-8 bytes of the text) —
-    the stand-in for image/audio blobs with the same schema shape:
-    (id, payload: binary, media_type: string)."""
-    return docs.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("image/fake").alias("media_type"),
-    )
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -487,78 +477,44 @@ def decode_metadata(media: DataFrame) -> DataFrame:
 
 
 def extract_features(media: DataFrame, bins: int = N_FEATURE_BINS) -> DataFrame:
-    """Feature extraction over binary payloads: a ``bins``-bin
-    byte-value histogram per payload (numpy-vectorized over the raw
-    bytes — the stand-in for a real image/audio feature extractor
-    with identical batch plumbing). Integer counts as scalar columns
-    so the driver canon can hash them exactly."""
+    """Feature extraction over REAL decoded pixels: per image, a
+    ``bins``-bin intensity histogram (bin = v // (256 // bins) over
+    the uint8 range) plus horizontal/vertical gradient energy
+    (sum |Δv| along each axis) and the pixel count/sum — the exact
+    integer preprocessing a learned image featurizer computes before
+    the model; only the learned embedding itself (model weights) is
+    out of scope in this container. All features are exact integers,
+    so the oracle recomputes them from the synth_png closed-form
+    pixel grid in SQL — a wrong unfilter or histogram edge cannot
+    hash-match. Rows that don't decode as the supported PNG profile
+    are skipped (a bad blob must not kill the stage at 100 TB)."""
     import numpy as np
+
+    width = 256 // bins
+    cols = (
+        ["doc_id", "n_px", "px_sum"]
+        + [f"h{i}" for i in range(bins)]
+        + ["grad_h", "grad_v"]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {"doc_id": []}
-            for i in range(bins):
-                out[f"b{i}"] = []
+            rows: dict[str, list] = {c: [] for c in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                arr = np.frombuffer(b, dtype=np.uint8)
-                hist = np.bincount(arr % bins, minlength=bins)
-                out["doc_id"].append(doc_id)
+                px = png_decode(bytes(payload) if payload is not None else b"")
+                if px is None:
+                    continue
+                v = px.astype(np.int64)
+                hist = np.bincount((v // width).ravel(), minlength=bins)
+                rows["doc_id"].append(doc_id)
+                rows["n_px"].append(int(v.size))
+                rows["px_sum"].append(int(v.sum()))
                 for i in range(bins):
-                    out[f"b{i}"].append(int(hist[i]))
-            yield pd.DataFrame(out)
+                    rows[f"h{i}"].append(int(hist[i]))
+                rows["grad_h"].append(int(np.abs(np.diff(v, axis=1)).sum()))
+                rows["grad_v"].append(int(np.abs(np.diff(v, axis=0)).sum()))
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def resize(media: DataFrame, max_pixels: int = RESIZE_PIXELS) -> DataFrame:
-    """Resize stub: subsample the payload to ≤``max_pixels`` "pixels"
-    (every ceil(n/max)-th byte) and hash the result — the
-    decimate-then-rehash shape of a real thumbnailer, with the output
-    dims recorded as typed columns. Real implementation would be
-    PIL.Image.resize; unavailable in this container."""
-    import hashlib
-    import math
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out_cols = ("doc_id", "out_w", "out_h", "pixel_hash")
-        for pdf in batches:
-            rows: dict[str, list] = {c: [] for c in out_cols}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                if not b:
-                    continue
-                step = math.ceil(len(b) / max_pixels)
-                sampled = b[::step]
-                rows["doc_id"].append(doc_id)
-                rows["out_w"].append(len(sampled))
-                rows["out_h"].append(1)
-                rows["pixel_hash"].append(hashlib.md5(sampled).hexdigest())
-            yield pd.DataFrame(rows)
-
-    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
-
-
-def sample_frames(media: DataFrame, n_frames: int = 3) -> DataFrame:
-    """Frame-sampling stub: emit ``n_frames`` deterministic "frames"
-    per payload (byte-slice hashes) — the UDTF shape (one row in, many
-    rows out) of real video frame extraction."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        for pdf in batches:
-            ids, idxs, hashes = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                if not b:
-                    continue
-                step = max(1, len(b) // n_frames)
-                for i in range(min(n_frames, len(b))):
-                    chunk = b[i * step : (i + 1) * step]
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    hashes.append(hashlib.md5(chunk).hexdigest())
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes})
-
-    return media.mapInPandas(run, schema=FRAME_SCHEMA)

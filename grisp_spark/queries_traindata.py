@@ -241,10 +241,13 @@ def mm02_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm03_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads (numpy byte histogram;
-    real plumbing, stand-in kernel). Integer bins → exact oracle."""
+    """Feature extraction over REAL decoded PNG pixels: intensity
+    histogram + gradient energies, the integer preprocessing a learned
+    featurizer computes (kernel must zlib-inflate + unfilter; the
+    oracle recomputes every feature from the synth_png closed-form
+    pixel grid in SQL)."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.attach_payload(docs)).orderBy(
+    return multimodal.extract_features(multimodal.synth_png(docs)).orderBy(
         "doc_id"
     )
 
@@ -726,32 +729,54 @@ ORACLES: dict[str, str] = {
         ORDER BY doc_id, frame_idx
     """,
     "mm03_extract_features": """
-        -- ASCII corpus: char code points == payload bytes
-        WITH chars AS (
-            SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+        -- real-pixel oracle: recompute intensity histogram (bin =
+        -- v // 32 over the uint8 range) and gradient energies from
+        -- the synth_png closed form pixel(y,x) = (7·doc_id+3x+5y)
+        -- mod 251 — the Spark kernel must zlib-inflate + unfilter
+        WITH d AS (
+            SELECT doc_id, doc_id % 48 + 1 AS w, n_chars % 32 + 1 AS h
             FROM documents
-        ), h AS (
+        ),
+        px AS (
+            SELECT doc_id, w, h, y, x,
+                   (7 * doc_id + 3 * x + 5 * y) % 251 AS v
+            FROM d,
+                 UNNEST(generate_series(0, CAST(h - 1 AS BIGINT))) t1(y),
+                 UNNEST(generate_series(0, CAST(w - 1 AS BIGINT))) t2(x)
+        ),
+        hist AS (
             SELECT doc_id,
-                   count(*) FILTER (ascii(ch) % 8 = 0) AS b0,
-                   count(*) FILTER (ascii(ch) % 8 = 1) AS b1,
-                   count(*) FILTER (ascii(ch) % 8 = 2) AS b2,
-                   count(*) FILTER (ascii(ch) % 8 = 3) AS b3,
-                   count(*) FILTER (ascii(ch) % 8 = 4) AS b4,
-                   count(*) FILTER (ascii(ch) % 8 = 5) AS b5,
-                   count(*) FILTER (ascii(ch) % 8 = 6) AS b6,
-                   count(*) FILTER (ascii(ch) % 8 = 7) AS b7
-            FROM chars GROUP BY doc_id
+                   CAST(count(*) AS INTEGER) AS n_px,
+                   CAST(sum(v) AS BIGINT) AS px_sum,
+                   CAST(count(*) FILTER (v // 32 = 0) AS INTEGER) AS h0,
+                   CAST(count(*) FILTER (v // 32 = 1) AS INTEGER) AS h1,
+                   CAST(count(*) FILTER (v // 32 = 2) AS INTEGER) AS h2,
+                   CAST(count(*) FILTER (v // 32 = 3) AS INTEGER) AS h3,
+                   CAST(count(*) FILTER (v // 32 = 4) AS INTEGER) AS h4,
+                   CAST(count(*) FILTER (v // 32 = 5) AS INTEGER) AS h5,
+                   CAST(count(*) FILTER (v // 32 = 6) AS INTEGER) AS h6,
+                   CAST(count(*) FILTER (v // 32 = 7) AS INTEGER) AS h7
+            FROM px GROUP BY doc_id
+        ),
+        gh AS (
+            SELECT doc_id, CAST(sum(abs(v - prev)) AS BIGINT) AS grad_h
+            FROM (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id, y
+                                                 ORDER BY x) AS prev
+                  FROM px)
+            WHERE prev IS NOT NULL GROUP BY doc_id
+        ),
+        gv AS (
+            SELECT doc_id, CAST(sum(abs(v - prev)) AS BIGINT) AS grad_v
+            FROM (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id, x
+                                                 ORDER BY y) AS prev
+                  FROM px)
+            WHERE prev IS NOT NULL GROUP BY doc_id
         )
-        SELECT d.doc_id,
-               CAST(coalesce(b0, 0) AS INTEGER) AS b0,
-               CAST(coalesce(b1, 0) AS INTEGER) AS b1,
-               CAST(coalesce(b2, 0) AS INTEGER) AS b2,
-               CAST(coalesce(b3, 0) AS INTEGER) AS b3,
-               CAST(coalesce(b4, 0) AS INTEGER) AS b4,
-               CAST(coalesce(b5, 0) AS INTEGER) AS b5,
-               CAST(coalesce(b6, 0) AS INTEGER) AS b6,
-               CAST(coalesce(b7, 0) AS INTEGER) AS b7
-        FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id
+        SELECT hist.doc_id, n_px, px_sum, h0, h1, h2, h3, h4, h5, h6, h7,
+               coalesce(grad_h, CAST(0 AS BIGINT)) AS grad_h,
+               coalesce(grad_v, CAST(0 AS BIGINT)) AS grad_v
+        FROM hist LEFT JOIN gh USING (doc_id) LEFT JOIN gv USING (doc_id)
+        ORDER BY doc_id
     """,
     "mm04_resize": """
         -- real-pixel oracle: the ≤4×4 mean-pool box sums from the

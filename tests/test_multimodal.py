@@ -283,3 +283,39 @@ def test_png_decode_truncation_robust():
     mut[45] ^= 0xFF
     out = png_decode(bytes(mut))
     assert out is None or out.shape == (10, 10)
+
+
+# ---- real-pixel feature kernel (mm03) --------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_prop_feature_math_matches_bruteforce(w, h, seed):
+    """The mm03 feature definitions (8-bin intensity histogram,
+    |Δ| gradient energies) checked against an index-loop brute force
+    on arbitrary pixel content routed through the real PNG codec —
+    the same math the DuckDB oracle replays from the closed form."""
+    px = (
+        np.random.default_rng(seed)
+        .integers(0, 256, size=(h, w))
+        .astype(np.uint8)
+    )
+    v = png_decode(png_encode(px)).astype(np.int64)
+    hist = np.bincount((v // 32).ravel(), minlength=8)
+    grad_h = int(np.abs(np.diff(v, axis=1)).sum())
+    grad_v = int(np.abs(np.diff(v, axis=0)).sum())
+    exp_hist = [0] * 8
+    exp_gh = exp_gv = 0
+    for y in range(h):
+        for x in range(w):
+            exp_hist[int(px[y, x]) // 32] += 1
+            if x:
+                exp_gh += abs(int(px[y, x]) - int(px[y, x - 1]))
+            if y:
+                exp_gv += abs(int(px[y, x]) - int(px[y - 1, x]))
+    assert list(hist) == exp_hist
+    assert (grad_h, grad_v) == (exp_gh, exp_gv)
