@@ -33,75 +33,75 @@ from grisp_spark import (  # noqa: E402
     queries_traindata,
 )
 
-# The 50 checks the driver evaluates this round, in order. Round-6
-# priorities (VERDICT r5 #1/#4/#5): the 10 rows at their two-round
-# rotation deadline return (q18, q20-q25, dd06, ss02, ss03 — last
-# driver-green r3); q44 (staged-pipeline path vs the flagship hash
-# oracle) and ss06 (trained-centroid IVF, newly oracled) enter per
-# the new-query policy. Every query touching a module changed in r6
-# stays in: the dense-id KB bootstrap rewrite (queries_kg.py) keeps
-# q37-q39/q42-q44 in; dd10/dd12 (dedup.py edits) and the kg spine
-# stay. mm02/mm04 were due back r7 but return EARLY: their kernels
-# were rewritten this round onto real PNG pixel decode, and a changed
-# callable must face the driver. Rotated OUT — all green r5
-# hash-exact on code untouched since: q02, q04-q06, q08, q10-q12,
-# q14/q15 (relational core, queries_relational*.py untouched),
-# q35/q36 (token co-occurrence builds — independent of the changed
-# KB bootstraps), q41 (rollup), dd02 (its signatures are exercised by
-# dd03's LSH pairs every round; the r6 dedup.py edits touched only
-# substring_window_pairs/decontaminate_flags, both in-window via
-# dd10/dd12). Due back by r7: q26-q31, mm01/mm03, ta05-ta07, q19,
-# dd09, q40; by r8: the 14 rotated out this round.
+# The 50 checks the driver evaluates this round, in order. Round-7
+# priorities (VERDICT r6 #1/#4/#6): the FULL 14-row rotation
+# obligation returns (q19, q26-q31, q40, dd09, mm01, mm03 — its
+# pixel-feature kernel was rewritten late in r6, so doubly mandatory
+# — ta05-ta07, all last driver-green r4); q45 (the staged pipeline
+# forced into its shuffle-linking regime, vs the flagship hash
+# oracle), q46 (A6 entity-edge materialization) and q47 (C6
+# truncated-id repair) enter per the new-query policy. Every query
+# whose implementing code changed in r7 stays in: the range-balanced
+# _dense_ids rewrite (queries_kg.py) keeps q37-q39/q42-q44 in, the
+# staged-scratch anchor keeps q44/q45 in, the lazy ss06 oracle keeps
+# ss06 in. Rotated OUT — all green r6 hash-exact on code untouched
+# in r7, due back by r9: q16/q17 (salted stats / set ops), q18,
+# q20-q25 (freshly re-certified r6 returns; the q47 addition to
+# queries_relational3.py touches no existing callable there), dd04,
+# dd05, dd06 (r6 return; dedup.py untouched in r7), ss02/ss03 (r6
+# returns; similarity.py untouched), ta01/ta02/ta04 (textstats.py
+# untouched). Still due by r8: the 14 rotated out in r6 (q02,
+# q04-q06, q08, q10-q12, q14, q15, q35, q36, q41, dd02).
 DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary",
     "q03_broadcast_dim_join",
     "q07_is_primary_topk",
     "q09_sessionize",
     "q13_redirect_closure",
-    "q16_salted_stats",
-    "q17_set_ops",
-    "q18_percent_escape",
-    "q20_pivot",
-    "q21_cube",
-    "q22_running_window",
-    "q23_dedup_keep_best",
-    "q24_approx_sketches",
-    "q25_exact_percentiles",
+    "q19_asof_join",
+    "q26_wikidata_backbone",
+    "q27_translations",
+    "q28_xml_page_scan",
+    "q29_tql_scan",
+    "q30_wiki_links",
+    "q31_disambig_senses",
     "q32_kg_label_stats",
     "q33_kg_label_senses",
     "q34_kg_entity_labels",
     "q37_kg_triples_flagship",
     "q38_kg_triples_prior",
     "q39_triples_prior_shuffle",
+    "q40_tree_depth",
     "q42_kg_linked_centroid",
     "q43_linked_centroid_shuffle",
     "q44_triples_staged",
+    "q45_triples_staged_shuffle",
+    "q46_entity_edges",
+    "q47_repair_ids",
     "dd01_exact_dedup",
     "dd03_minhash_lsh_pairs",
-    "dd04_ngram_jaccard",
-    "dd05_simhash",
-    "dd06_embed_neardup",
     "dd07_embed_neardup_lsh",
     "dd08_embed_neardup_lsh_multi",
+    "dd09_dedup_survivors",
     "dd10_substring_windows",
     "dd11_incremental_dedup",
     "dd12_decontaminate",
     "ss01_cosine_topk",
-    "ss02_lsh_ann",
-    "ss03_ivf_ann",
     "ss04_ivf_ann_multiprobe",
     "ss05_cosine_topk_blocked",
     "ss06_ivf_ann_kmeans",
-    "ta01_lang_id",
-    "ta02_quality",
     "ta03_token_counts",
-    "ta04_fingerprint",
+    "ta05_stratified_sample",
+    "ta06_pack_sequences",
+    "ta07_corpus_pipeline",
     "ta08_repetition",
     "ta09_tfidf_topk",
     "ta10_context_chunks",
     "ta11_pii_scrub",
     "ta12_corpus_hygiene",
+    "mm01_decode_metadata",
     "mm02_sample_frames",
+    "mm03_extract_features",
     "mm04_resize",
 ]
 
@@ -139,6 +139,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(queries_relational.ORACLES)
     out.update(queries_relational2.ORACLES)
     out.update(queries_relational3.ORACLES)
-    out.update(queries_traindata.ORACLES)
+    # oracles() resolves the lazy, data-dependent ss06 oracle at the
+    # correctness SF (sf0.01 per the driver contract) — ADVICE r6: no
+    # k-means training at import time, rows-only fallback on a miss
+    out.update(queries_traindata.oracles())
     out.update(queries_kg.ORACLES)
     return out

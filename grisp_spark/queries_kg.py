@@ -164,43 +164,55 @@ def _dense_ids(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
     unpartitioned window (the VERDICT r5 scale fix: `row_number()
     OVER (ORDER BY ...)` funnels the whole table through one task).
 
-    Phase 1 groups by the 2-char prefix of the major key and collects
-    the tiny per-prefix count vector — bounded by the prefix alphabet,
-    not by the data, the same driver-size class as ta09's 1-row N.
-    Phase 2 ranks within each prefix group (a PARTITIONED window, so
-    parallelism = number of prefixes and per-task rows = the largest
-    prefix group) and adds the cumulative count of all earlier
-    prefixes map-side via a broadcast join. Character-prefix grouping
-    is order-consistent with the major key (UTF-8 byte order preserves
-    codepoint order, so a < b implies prefix(a) <= prefix(b)), hence
-    rank-within-prefix + offset == the global row_number — the DuckDB
-    oracles keep their `row_number() OVER (ORDER BY ...)` replay
-    byte-for-byte unchanged. Callers cache ``df`` first so the count
-    job doesn't recompute the upstream aggregation.
+    True distributed zipWithIndex (VERDICT r6 #2 — replaces the
+    2-char-prefix grouping, whose parallelism was bounded by the
+    prefix alphabet and whose per-task rows by the hottest prefix,
+    Zipfian for natural-language vocabularies). Phase 1
+    ``repartitionByRange(order_cols)``: partitions are range-balanced
+    by Spark's sampled boundaries — every partition gets ~n/P rows no
+    matter how skewed the key distribution — and ordering-consistent
+    (all rows of partition i precede all rows of partition i+1 in
+    ``order_cols`` order), with the partition id stamped and the frame
+    persisted so every later job sees the one materialized layout
+    (range boundaries are sampled per-shuffle; unpersisted, the count
+    job and the ranking job could each draw different boundaries).
+    Phase 2 collects the tiny per-partition count vector (P rows, the
+    same driver-size class as ta09's 1-row N — this count job doubles
+    as the cache materialization), ranks within each partition, and
+    adds the cumulative count of earlier partitions map-side via a
+    broadcast join: rank-within-partition + offset == the global
+    row_number, so the DuckDB oracles keep their `row_number() OVER
+    (ORDER BY ...)` replay byte-for-byte unchanged. NULL major keys
+    (ADVICE r6: the prefix join silently dropped them) now survive —
+    range partitioning orders them nulls-first, exactly like the old
+    global row_number; note DuckDB's default is nulls-LAST, so an
+    oracle over null-keyed rows would need explicit NULLS FIRST
+    (today's callers have non-null keys).
 
-    Measured cost of the funnel removal (sf0.1, local[32], idle box):
-    kg06 2.4→3.0 s warm / 4.5→5.5 s cold vs the old single-partition
-    window — the blocking count job (0.3-1.5 s, which doubles as the
-    cache materialization) plus the offset broadcast join. Two cheaper
-    shapes were measured WORSE and rejected: in-plan cumulative-sum
-    offsets (no collect; 3.7-4.0 s warm — the un-materialized base is
-    read twice inside one job) and dropping the downstream ent cache
-    (3.5-3.8 s). The constant is the price of never funneling a
-    10^8-row multilingual sense table through one task; it does not
-    scale with the corpus."""
+    Measured cost of the funnel removal (sf0.1, local[32], idle box,
+    re-measured for the range shape in round 7 — see
+    BENCH/BASELINE.md): the blocking count job + offset broadcast
+    join, constant in corpus size. In-plan cumulative-sum offsets (no
+    collect) were measured WORSE in r6 (the un-materialized base is
+    read twice inside one job) and stay rejected. The constant is the
+    price of never funneling a 10^8-row multilingual sense table
+    through one task."""
     spark = df.sparkSession
-    major = order_cols[0]
-    base = df.withColumn("_pref", F.substring(F.col(major), 1, 2))
+    base = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
     offs, acc = [], 0
-    for r in base.groupBy("_pref").count().orderBy("_pref").collect():
-        offs.append((r["_pref"], acc))
+    for r in base.groupBy("_pid").count().orderBy("_pid").collect():
+        offs.append((int(r["_pid"]), acc))
         acc += r["count"]
-    off_df = spark.createDataFrame(offs, "_pref string, _off long")
-    w = W.partitionBy("_pref").orderBy(*order_cols)
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = W.partitionBy("_pid").orderBy(*order_cols)
     return (
-        base.join(F.broadcast(off_df), "_pref")
+        base.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, (F.row_number().over(w) + F.col("_off")).cast("long"))
-        .drop("_pref", "_off")
+        .drop("_pid", "_off")
     )
 
 
@@ -234,10 +246,10 @@ def _centroid_corpus_kb(spark: SparkSession, sf_dir: str):
         .filter(F.col("tot") >= MIN_OCC)
         .select("token")
     )
-    # cached: entities feed three consumers (two broadcast builds +
-    # canonical map) plus _dense_ids' count job — without the cache
-    # the token agg runs 4x
-    base = senses.join(labs, "token").cache()
+    # no cache here: _dense_ids persists its range-partitioned frame
+    # internally, so the token agg runs exactly once (its count job is
+    # the materialization); ent stays cached for its 2-3 consumers
+    base = senses.join(labs, "token")
     ent = _dense_ids(base, ["token", "role"], "entity_id").cache()
     entities = ent.select(
         "entity_id",
@@ -345,8 +357,9 @@ def _prior_corpus_kb(spark: SparkSession, sf_dir: str):
         .filter(F.col("tot") >= MIN_OCC)
         .select("label")
     )
-    # cached so _dense_ids' count job doesn't recompute the token agg
-    base = senses.join(labs, "label").cache()
+    # no cache here: _dense_ids persists its range-partitioned frame
+    # internally (the count job is the materialization)
+    base = senses.join(labs, "label")
     # ent cached like _centroid_corpus_kb's: it feeds entities,
     # label_stats AND (via entities) the canonical map, so without the
     # cache the ranking window + offset join recompute once per
@@ -414,6 +427,47 @@ def q39_triples_prior_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_triples(
+    spark: SparkSession, sf_dir: str, tag: str, **pipeline_kwargs
+) -> DataFrame:
+    """Shared body of q44/q45: stage the derived corpus + bootstrap KB
+    to a scratch dataset, run the resumable KGPipeline over it, return
+    the flagship-shaped triples. Scratch lives under the REPO's .data
+    (anchored to this module's directory, ADVICE r6 — a relative
+    '.data' would scatter scratch wherever the evaluator's cwd is)."""
+    import os
+    import shutil
+
+    from grisp_spark.kg.pipeline import KGPipeline
+
+    conv, kb = _centroid_corpus_kb(spark, sf_dir)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scratch = os.path.join(
+        repo_root,
+        ".data",
+        f"{tag}_staged_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    data_dir, out_dir = os.path.join(scratch, "in"), os.path.join(scratch, "out")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(data_dir, exist_ok=True)
+    conv.write.mode("overwrite").parquet(os.path.join(data_dir, "conversations.parquet"))
+    for name, df in kb.items():
+        df.write.mode("overwrite").parquet(os.path.join(data_dir, f"{name}.parquet"))
+    # the bootstrap KB has no alias table; the pipeline contract reads
+    # one, so stage an empty frame with the datagen schema
+    spark.createDataFrame(
+        [], "alias string, entity_id long, kind string, chain_hops int"
+    ).write.mode("overwrite").parquet(os.path.join(data_dir, "aliases.parquet"))
+    result = KGPipeline(
+        spark, data_dir, out_dir, n_buckets=4, **pipeline_kwargs
+    ).run(resume=False)
+    return (
+        result["triples"]
+        .select("conv_id", "turn_idx", "subj", "pred", "obj")
+        .orderBy("conv_id", "turn_idx", "pred", "subj", "obj")
+    )
+
+
 def q44_triples_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kg06's flagship semantics run through the STAGED, resumable
     KGPipeline path (kg/pipeline.py) instead of the fused in-memory
@@ -429,32 +483,36 @@ def q44_triples_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fused path holds because linked-mention floats are
     partition-count-invariant (pinned) and the batch kernels are
     composition-independent (spec batch/row identity)."""
-    import os
-    import shutil
+    return _staged_triples(spark, sf_dir, "q44")
 
-    from grisp_spark.kg.pipeline import KGPipeline
 
-    conv, kb = _centroid_corpus_kb(spark, sf_dir)
-    scratch = os.path.join(
-        ".data", f"q44_staged_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    data_dir, out_dir = os.path.join(scratch, "in"), os.path.join(scratch, "out")
-    shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(data_dir, exist_ok=True)
-    conv.write.mode("overwrite").parquet(os.path.join(data_dir, "conversations.parquet"))
-    for name, df in kb.items():
-        df.write.mode("overwrite").parquet(os.path.join(data_dir, f"{name}.parquet"))
-    # the bootstrap KB has no alias table; the pipeline contract reads
-    # one, so stage an empty frame with the datagen schema
-    spark.createDataFrame(
-        [], "alias string, entity_id long, kind string, chain_hops int"
-    ).write.mode("overwrite").parquet(os.path.join(data_dir, "aliases.parquet"))
-    result = KGPipeline(spark, data_dir, out_dir, n_buckets=4).run(resume=False)
-    return (
-        result["triples"]
-        .select("conv_id", "turn_idx", "subj", "pred", "obj")
-        .orderBy("conv_id", "turn_idx", "pred", "subj", "obj")
-    )
+def q46_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 driver row (VERDICT r6 #6): materialize.entity_edges — the
+    typed, distinct entity↔entity edge table of grisp's graph
+    materialization step (PageLinkSummaryStep.java:78-119 input side)
+    — over the prior-mode flagship triples (kg07, the pure-SQL
+    replayable KB). Previously this cell's only evidence was the
+    pipeline pytest; the DuckDB oracle replays the distinct +
+    type-tag over the same triple CTE."""
+    from grisp_spark.kg import materialize
+
+    trips = kg07_triples_prior(spark, sf_dir)
+    return materialize.entity_edges(trips).orderBy("src", "dst")
+
+
+def q45_triples_staged_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q44's staged pipeline forced into its SHUFFLE-LINKING regime
+    (VERDICT r6 #4): ``broadcast_label_limit=0`` makes the adaptive
+    probe in kg/pipeline.py::stage_linked choose the distributed
+    kg/linking_shuffle plan for every bucket — the 64M-label regime of
+    the reference (util/LabelCache.java:46), where the gazetteer is
+    never collected to the driver — and the result is checked against
+    the SAME flagship hash oracle as kg06/q44. Regime parity was
+    previously pytest-only (test_pipeline_shuffle_regime); this makes
+    it a hard driver row. Bit-equality across regimes holds because
+    both linking paths score through the same spec batch kernels with
+    partition-count-invariant floats."""
+    return _staged_triples(spark, sf_dir, "q45", broadcast_label_limit=0)
 
 
 _BASE = f"WITH conv AS ({DERIVE_CONVERSATIONS_SQL})"
@@ -864,13 +922,26 @@ QUERIES = {
 QUERIES["q39_triples_prior_shuffle"] = q39_triples_prior_shuffle
 QUERIES["q43_linked_centroid_shuffle"] = q43_linked_centroid_shuffle
 QUERIES["q44_triples_staged"] = q44_triples_staged
+QUERIES["q45_triples_staged_shuffle"] = q45_triples_staged_shuffle
+QUERIES["q46_entity_edges"] = q46_entity_edges
 # same output contract as kg08 — the shuffle path must match the
 # broadcast path bit-for-bit, so they share one oracle
 ORACLES["q43_linked_centroid_shuffle"] = ORACLES["kg08_linked_centroid"]
 # the staged pipeline must emit the flagship's exact triple set —
 # same oracle as kg06 (fused/staged parity is also pinned by
-# tests/test_kg_pipeline.py::test_fused_matches_staged_and_oracle)
+# tests/test_kg_pipeline.py::test_fused_matches_staged_and_oracle);
+# q45 is the same staged run in the forced shuffle-linking regime
 ORACLES["q44_triples_staged"] = ORACLES["kg06_triples_flagship"]
+ORACLES["q45_triples_staged_shuffle"] = ORACLES["kg06_triples_flagship"]
+
+# A6 edge materialization replayed over the kg07 triple CTE
+ORACLES["q46_entity_edges"] = f"""
+    WITH trips AS ({ORACLES["kg07_triples_prior"]})
+    SELECT DISTINCT subj AS src, CAST(obj AS BIGINT) AS dst,
+           'co_occurs' AS edge_type
+    FROM trips WHERE pred = 'co_occurs_with'
+    ORDER BY src, dst
+"""
 
 # Driver-visible aliases: the driver's correctness gate only evaluates
 # q/dd/ss/ta/mm-prefixed names (CORRECTNESS_r02 had no row for any kg*

@@ -583,3 +583,65 @@ ORACLES["q41_timeseries_rollup"] = """
     ORDER BY event_type, bucket
 """
 QUERIES["q41_timeseries_rollup"] = q41_timeseries_rollup
+
+
+def q47_repair_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 driver row (VERDICT r6 #6): sources/sqldump.
+    repair_truncated_ids — the corrupted-pageId repair of
+    ProcessWikiData.java:261-289 (a dump tuple that lost the leading
+    digit of its id is repaired from its predecessor's) — previously
+    certified by pytest only. A deterministic corruption is
+    synthesized from the orders table (every 7th orderkey loses its
+    leading digit), the rows are split into contiguous 'dump file'
+    groups (``o_orderkey div 8192``) so the inherently-sequential
+    lag-repair parallelizes across groups exactly like the operator's
+    ``partition_cols`` per-file path (no single-partition window),
+    and DuckDB replays the same lag() semantics."""
+    from grisp_spark.sources import sqldump
+
+    orders = load_table(spark, sf_dir, "orders")
+    raw = F.when(
+        (F.col("o_orderkey") % 7 == 0)
+        & (F.length(F.col("o_orderkey").cast("string")) > 1),
+        F.expr("substring(cast(o_orderkey as string), 2)").cast("long"),
+    ).otherwise(F.col("o_orderkey"))
+    corrupted = orders.select(
+        F.col("o_orderkey").alias("seq"),
+        F.expr("o_orderkey div 8192").alias("grp"),
+        raw.alias("raw_id"),
+        raw.alias("page_id"),
+    )
+    repaired = sqldump.repair_truncated_ids(
+        corrupted, id_col="page_id", order_col="seq", partition_cols=["grp"]
+    )
+    return repaired.select(
+        "grp", "seq", "raw_id", F.col("page_id").alias("repaired_id")
+    ).orderBy("seq")
+
+
+ORACLES["q47_repair_ids"] = """
+    WITH src AS (
+        SELECT o_orderkey AS seq,
+               o_orderkey // 8192 AS grp,
+               CASE WHEN o_orderkey % 7 = 0
+                     AND len(CAST(o_orderkey AS VARCHAR)) > 1
+                    THEN CAST(CAST(o_orderkey AS VARCHAR)[2:] AS BIGINT)
+                    ELSE o_orderkey END AS raw_id
+        FROM orders
+    ),
+    lagged AS (
+        SELECT seq, grp, raw_id,
+               lag(CAST(raw_id AS VARCHAR))
+                   OVER (PARTITION BY grp ORDER BY seq) AS prev
+        FROM src
+    )
+    SELECT grp, seq, raw_id,
+           CASE WHEN prev IS NOT NULL
+                 AND len(CAST(raw_id AS VARCHAR)) < len(prev)
+                 AND CAST(prev[1:1] || CAST(raw_id AS VARCHAR) AS BIGINT)
+                     > raw_id
+                THEN CAST(prev[1:1] || CAST(raw_id AS VARCHAR) AS BIGINT)
+                ELSE raw_id END AS repaired_id
+    FROM lagged ORDER BY seq
+"""
+QUERIES["q47_repair_ids"] = q47_repair_ids

@@ -6,6 +6,8 @@ textstats,multimodal}.py for the scale design notes."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1188,7 +1190,7 @@ ORACLES["ta10_context_chunks"] = f"""
     FROM chunks ORDER BY conv_id, chunk_start
 """
 
-def _ss06_oracle() -> str | None:
+def _ss06_oracle(sf_dir: str) -> str | None:
     """Trained-centroid IVF oracle (VERDICT r5 #4): certify ss06's
     probe/assignment/top-k search exactly the way ss04's oracle does,
     with the k-means centroids BAKED INTO the SQL. The Lloyd training
@@ -1205,16 +1207,20 @@ def _ss06_oracle() -> str | None:
     cannot diverge. The output floats (cos) are computed in-engine
     from the embeddings table on both sides, as always.
 
-    Data-dependent by construction: valid at the driver/mirror SF
-    (sf0.01, tests/conftest.SF_CORRECT) whose embeddings the builder
-    reads. Returns None (→ rows-only fallback) if that parquet is
+    Data-dependent by construction: valid only at the SF whose
+    embeddings the builder reads, so it is built LAZILY on first
+    oracle lookup (ADVICE r6 — the r6 shape trained k-means at module
+    import time, taxing every import and silently baking sf0.01 in)
+    and keyed by ``sf_dir``: ``oracles(sf_dir)`` passes the correctness
+    SF being evaluated (driver contract + tests/conftest.SF_CORRECT:
+    sf0.01). Returns None (→ rows-only fallback) if that parquet is
     unavailable or ever outgrows KMEANS_SAMPLE."""
     import math
 
     import duckdb
     import numpy as np
 
-    path = "/root/testdata/sf0.01/embeddings.parquet"
+    path = os.path.join(sf_dir, "embeddings.parquet")
     try:
         rows = duckdb.sql(
             f"SELECT vec_id, embedding FROM '{path}' ORDER BY vec_id"
@@ -1272,9 +1278,25 @@ def _ss06_oracle() -> str | None:
     """
 
 
-_SS06_SQL = _ss06_oracle()
-if _SS06_SQL is not None:
-    ORACLES["ss06_ivf_ann_kmeans"] = _SS06_SQL
+_SS06_CACHE: dict[str, str | None] = {}
+
+# the correctness SF both the driver and the local mirror evaluate
+# oracles at (TESTDATA.md driver contract; tests/conftest.SF_CORRECT)
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def oracles(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
+    """All oracle SQL, including the data-dependent ss06 oracle built
+    lazily for ``sf_dir`` (memoized per path; None → the entry is
+    omitted and the driver records its rows-only fallback rather than
+    hash-compare against centroids trained at a different SF)."""
+    out = dict(ORACLES)
+    key = os.path.normpath(sf_dir)
+    if key not in _SS06_CACHE:
+        _SS06_CACHE[key] = _ss06_oracle(key)
+    if _SS06_CACHE[key] is not None:
+        out["ss06_ivf_ann_kmeans"] = _SS06_CACHE[key]
+    return out
 
 
 QUERIES = {

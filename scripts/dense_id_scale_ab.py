@@ -1,0 +1,111 @@
+"""VERDICT r6 #5: prove the dense-id de-funnel's cost is a CONSTANT,
+not corpus-scaled, by measuring the Δ between the shipped two-phase
+assignment and the old single-partition-window shape at TWO corpus
+sizes (sf0.01 and sf0.1 — a 10× corpus step). If the Δ stays flat
+while the corpus term grows, the "constant, not corpus-scaled" claim
+in queries_kg._dense_ids' docstring is empirical.
+
+Protocol: one local[32] session (driver config), per SF × shape:
+1 warm-up pass + 3 measured passes of ent.count() (the action that
+forces the full dense-id assignment), fresh un-persisted frames each
+pass so every pass pays the full plan. /proc/stat steal is sampled
+around the whole experiment. Run on an otherwise idle box.
+
+Usage: python scripts/dense_id_scale_ab.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _steal_ticks() -> int:
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
+def _old_single_window(df, order_cols, out_col):
+    """The pre-r6 shape: global row_number (Exchange SinglePartition).
+    Kept here only as the A/B baseline — never ship this."""
+    w = W.orderBy(*order_cols)
+    return df.withColumn(out_col, F.row_number().over(w).cast("long"))
+
+
+def _bootstrap_base(spark, sf_dir):
+    """_centroid_corpus_kb's sense table up to (but excluding) the
+    dense-id assignment — the exact frame _dense_ids receives."""
+    from grisp_spark.kg.stats import occ_doc_agg
+    from grisp_spark.queries_kg import MIN_OCC, _turn_tokens
+    from grisp_spark.sources.testdata import derive_conversations
+
+    conv = derive_conversations(spark, sf_dir)
+    toks = _turn_tokens(conv).filter(F.length("token") >= 6)
+    senses = occ_doc_agg(
+        toks.select("token", "role", "conv_id"), ["token", "role"], "occ", "doc"
+    )
+    labs = (
+        senses.groupBy("token")
+        .agg(F.sum("occ").alias("tot"))
+        .filter(F.col("tot") >= MIN_OCC)
+        .select("token")
+    )
+    return senses.join(labs, "token")
+
+
+def main() -> None:
+    from grisp_spark.queries_kg import _dense_ids
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .appName("dense-id-scale-ab")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    shapes = {
+        "two_phase": lambda df: _dense_ids(df, ["token", "role"], "entity_id"),
+        "single_window": lambda df: _old_single_window(
+            df, ["token", "role"], "entity_id"
+        ),
+    }
+    out: dict = {"passes": {}, "rows": {}}
+    t0_steal = _steal_ticks()
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        key = os.path.basename(sf)
+        out["rows"][key] = _bootstrap_base(spark, sf).count()  # warm the scans
+        for shape, fn in shapes.items():
+            times = []
+            for i in range(4):  # pass 0 = warm-up, 1-3 measured
+                df = fn(_bootstrap_base(spark, sf))
+                t0 = time.monotonic()
+                n = df.count()
+                dt = time.monotonic() - t0
+                if i:
+                    times.append(round(dt, 3))
+                # _dense_ids persists internally; drop it so the next
+                # pass pays the full cost again
+                spark.catalog.clearCache()
+                assert n == out["rows"][key], (n, out["rows"][key])
+            out["passes"][f"{key}.{shape}"] = times
+    out["steal_cpu_s"] = round((_steal_ticks() - t0_steal) / 100.0, 1)
+    for key in ("sf0.01", "sf0.1"):
+        tp = min(out["passes"][f"{key}.two_phase"])
+        sw = min(out["passes"][f"{key}.single_window"])
+        out[f"delta_{key}"] = round(tp - sw, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -62,31 +62,33 @@ def test_driver_window_is_first_50():
 
 
 def test_driver_window_covers_kg_spine_and_recent_rewrites():
-    """Round-6 rotation intent: the 10 rows at their two-round
-    rotation deadline (last driver-green r3) return, q44/ss06 enter
-    per the new-query policy, and every query whose implementing code
-    changed in r6 (the dense-id KB bootstrap rewrite in queries_kg.py,
-    the dd10/dd12 edits in dedup.py) faces the driver."""
+    """Round-7 rotation intent: the FULL 14-row obligation (last
+    driver-green r4, due back by r7 — VERDICT r6 #1) returns,
+    q45/q46/q47 enter per the new-query policy, and every query whose
+    implementing code changed in r7 (the range-balanced _dense_ids
+    rewrite in queries_kg.py, the staged-scratch anchor, the lazy
+    ss06 oracle) faces the driver."""
     window = set(entry_mod.DRIVER_WINDOW)
     must_run = {
-        # rotation-deadline returns (ledger: due back by r6)
-        "q18_percent_escape", "q20_pivot", "q21_cube",
-        "q22_running_window", "q23_dedup_keep_best",
-        "q24_approx_sketches", "q25_exact_percentiles",
-        "dd06_embed_neardup", "ss02_lsh_ann", "ss03_ivf_ann",
-        # new-query policy: staged-pipeline driver row + trained-
-        # centroid IVF with its new baked-centroid oracle
-        "q44_triples_staged", "ss06_ivf_ann_kmeans",
-        # dense-id KB bootstrap rewrite (queries_kg.py r6) — every
-        # query built on _centroid_corpus_kb/_prior_corpus_kb
+        # the 14 rotation-deadline returns (ledger: due back by r7)
+        "q19_asof_join", "q26_wikidata_backbone", "q27_translations",
+        "q28_xml_page_scan", "q29_tql_scan", "q30_wiki_links",
+        "q31_disambig_senses", "q40_tree_depth",
+        "dd09_dedup_survivors", "mm01_decode_metadata",
+        "mm03_extract_features", "ta05_stratified_sample",
+        "ta06_pack_sequences", "ta07_corpus_pipeline",
+        # new-query policy: shuffle-regime staged pipeline, A6 edge
+        # materialization, C6 truncated-id repair
+        "q45_triples_staged_shuffle", "q46_entity_edges",
+        "q47_repair_ids",
+        # range-balanced _dense_ids rewrite (queries_kg.py r7) — every
+        # query built on _centroid_corpus_kb/_prior_corpus_kb, plus
+        # the staged q44/q45 whose scratch anchor moved
         "q37_kg_triples_flagship", "q38_kg_triples_prior",
         "q39_triples_prior_shuffle", "q42_kg_linked_centroid",
-        "q43_linked_centroid_shuffle",
-        # dedup.py changed in r6 (substring_window_pairs hot-set
-        # anti-join, decontaminate_flags composition)
-        "dd10_substring_windows", "dd12_decontaminate",
-        # kernels rewritten in r6 onto real PNG pixel decode
-        "mm02_sample_frames", "mm04_resize",
+        "q43_linked_centroid_shuffle", "q44_triples_staged",
+        # lazy, sf-keyed ss06 oracle (queries_traindata.py r7)
+        "ss06_ivf_ann_kmeans",
     }
     assert must_run <= window, sorted(must_run - window)
 

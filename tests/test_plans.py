@@ -114,12 +114,16 @@ def test_aqe_splits_skewed_join(spark):
 
 
 def test_kb_bootstrap_no_single_partition_window(spark, sf_dir):
-    """VERDICT r5 #2: the flagship KB's dense-id assignment must not
-    funnel the sense table through one task. _dense_ids ranks within
-    2-char-prefix partitions + broadcast offsets, so the physical
-    plan of BOTH flagship modes must contain a partitioned Window and
-    no Exchange SinglePartition anywhere (an unpartitioned window is
-    exactly an Exchange SinglePartition followed by WindowExec)."""
+    """VERDICT r5 #2 + r6 #2: the flagship KB's dense-id assignment
+    must not funnel the sense table through one task, and its
+    parallelism must be range-BALANCED, not bounded by the hottest
+    key prefix. _dense_ids range-partitions by the order columns
+    (Exchange rangepartitioning — true zipWithIndex layout), ranks
+    within the stamped partition id, and adds broadcast offsets; the
+    physical plan of BOTH flagship modes must contain the range
+    exchange, a partitioned Window on _pid, and no Exchange
+    SinglePartition anywhere (an unpartitioned window is exactly an
+    Exchange SinglePartition followed by WindowExec)."""
     from grisp_spark import queries_kg
 
     for build in (queries_kg._centroid_corpus_kb, queries_kg._prior_corpus_kb):
@@ -127,7 +131,8 @@ def test_kb_bootstrap_no_single_partition_window(spark, sf_dir):
         plan = _plan(kb["entities"])
         assert "Exchange SinglePartition" not in plan, plan
         assert "Window" in plan, plan  # the ranking window is still there
-        assert "Exchange hashpartitioning(_pref" in plan, plan
+        assert "Exchange rangepartitioning" in plan, plan
+        assert "Exchange hashpartitioning(_pid" in plan, plan
     # and the final triples plan stays funnel-free too
     for q in ("q37_kg_triples_flagship", "q38_kg_triples_prior"):
         plan = _plan(entry_mod.queries()[q](spark, sf_dir))
