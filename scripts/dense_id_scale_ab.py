@@ -89,8 +89,15 @@ def main() -> None:
             for i in range(4):  # pass 0 = warm-up, 1-3 measured
                 df = fn(_bootstrap_base(spark, sf))
                 t0 = time.monotonic()
-                n = df.count()
+                # count() alone would let Catalyst PRUNE the ranking
+                # window entirely — aggregate the id column so the
+                # assignment actually runs
+                row = df.agg(
+                    F.count("*").alias("n"), F.max("entity_id").alias("mx")
+                ).collect()[0]
+                n, mx = row["n"], row["mx"]
                 dt = time.monotonic() - t0
+                assert mx == n, (mx, n)
                 if i:
                     times.append(round(dt, 3))
                 # _dense_ids persists internally; drop it so the next
@@ -98,6 +105,36 @@ def main() -> None:
                 spark.catalog.clearCache()
                 assert n == out["rows"][key], (n, out["rows"][key])
             out["passes"][f"{key}.{shape}"] = times
+    # --- synthetic large-vocabulary leg -----------------------------------
+    # The testdata bootstrap vocabulary is tiny (documents doesn't
+    # scale with SF), so the corpus-scaling question is answered on a
+    # synthetic sense table whose size DOES grow: unique md5 tokens ×
+    # role, the exact (order_cols-unique) shape _dense_ids receives.
+    # This is where the old single-window shape funnels the whole
+    # table through one task and the range shape spreads it.
+    for n in (2_000_000, 8_000_000):
+        base = (
+            spark.range(n)
+            .select(
+                F.md5(F.col("id").cast("string")).alias("token"),
+                (F.col("id") % 3).cast("string").alias("role"),
+            )
+            .repartition(32)
+        )
+        for shape, fn in shapes.items():
+            times = []
+            for i in range(3):  # pass 0 = warm-up, 1-2 measured
+                df = fn(base)
+                t0 = time.monotonic()
+                row = df.agg(
+                    F.count("*").alias("n"), F.max("entity_id").alias("mx")
+                ).collect()[0]
+                dt = time.monotonic() - t0
+                assert (row["n"], row["mx"]) == (n, n), row
+                if i:
+                    times.append(round(dt, 3))
+                spark.catalog.clearCache()
+            out["passes"][f"synth{n}.{shape}"] = times
     out["steal_cpu_s"] = round((_steal_ticks() - t0_steal) / 100.0, 1)
     for key in ("sf0.01", "sf0.1"):
         tp = min(out["passes"][f"{key}.two_phase"])

@@ -34,9 +34,9 @@ if name == "q39_triples_prior_shuffle":
     # under the disabled thresholds every BroadcastExchange must come
     # from an explicit hint on a provably tiny frame: rewrite_linked's
     # canonical map (canonicalize.py:69, joins on entity_id and
-    # projects canonical_id) or _dense_ids' prefix-offset vector
-    # (queries_kg.py:201, an ExistingRDD scan of (_pref, _off) —
-    # alphabet-bounded; it renders once per consuming subtree with a
+    # projects canonical_id) or _dense_ids' partition-offset vector
+    # (an ExistingRDD scan of (_pid, _off) — one row per range
+    # partition; it renders once per consuming subtree with a
     # distinct plan_id, so identify builds by content, don't count).
     # The KB/linking joins themselves must all be shuffle joins.
     lines = plan.split("\\n")
@@ -44,7 +44,7 @@ if name == "q39_triples_prior_shuffle":
         if "BroadcastExchange" not in ln:
             continue
         subtree = "\\n".join(lines[i : i + 4])
-        assert "_pref#" in subtree or "canonical_id#" in subtree, subtree
+        assert "_pid#" in subtree or "canonical_id#" in subtree, subtree
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 df.write.format("noop").mode("overwrite").save()
