@@ -50,8 +50,10 @@ from grisp_spark import (  # noqa: E402
 # queries_relational3.py touches no existing callable there), dd04,
 # dd05, dd06 (r6 return; dedup.py untouched in r7), ss02/ss03 (r6
 # returns; similarity.py untouched), ta01/ta02/ta04 (textstats.py
-# untouched). Still due by r8: the 14 rotated out in r6 (q02,
-# q04-q06, q08, q10-q12, q14, q15, q35, q36, q41, dd02).
+# untouched), dd08 (green r6; displaced by mm05 — the new JPEG
+# pixel row closing the last multimodal stand-in, VERDICT r6 #7).
+# Still due by r8: the 14 rotated out in r6 (q02, q04-q06, q08,
+# q10-q12, q14, q15, q35, q36, q41, dd02).
 DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary",
     "q03_broadcast_dim_join",
@@ -81,7 +83,6 @@ DRIVER_WINDOW: list[str] = [
     "dd01_exact_dedup",
     "dd03_minhash_lsh_pairs",
     "dd07_embed_neardup_lsh",
-    "dd08_embed_neardup_lsh_multi",
     "dd09_dedup_survivors",
     "dd10_substring_windows",
     "dd11_incremental_dedup",
@@ -103,6 +104,7 @@ DRIVER_WINDOW: list[str] = [
     "mm02_sample_frames",
     "mm03_extract_features",
     "mm04_resize",
+    "mm05_jpeg_pixels",
 ]
 
 

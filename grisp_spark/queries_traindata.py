@@ -263,6 +263,22 @@ def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_pixels(multimodal.synth_png(docs)).orderBy("doc_id")
 
 
+def mm05_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel stats over REAL entropy-decoded JPEGs (VERDICT r6 #7 —
+    the last multimodal stand-in closed): synth_jpeg packs spec-valid
+    baseline sequential JFIF streams (DQT/SOF0/DHT/SOS, huffman DC
+    coding, byte stuffing) whose DC-only blocks under q00=8 decode to
+    exactly DC+128 per pixel — a closed form of the doc columns the
+    oracle recomputes in SQL, while jpeg_pixel_stats must genuinely
+    huffman-decode + dequantize + IDCT the bytes (the general AC /
+    ZRL / EOB / restart paths are pinned by pytest round-trips
+    against an independent cos-formula IDCT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.jpeg_pixel_stats(multimodal.synth_jpeg(docs)).orderBy(
+        "doc_id"
+    )
+
+
 _SHINGLES = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (
@@ -821,6 +837,35 @@ ORACLES: dict[str, str] = {
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                     ELSE 'wav' END AS format
         FROM documents ORDER BY doc_id
+    """,
+    "mm05_jpeg_pixels": """
+        -- real-JPEG oracle: the synth_jpeg DC-only profile under
+        -- q00 = 8 decodes to exactly DC + 128 per pixel, with block
+        -- (gy,gx) carrying DC = ((11·doc_id + 7·gx + 13·gy) % 201)
+        -- - 100 — so every stat is an integer closed form of the doc
+        -- columns, and a wrong huffman decode / dequant / IDCT on
+        -- the Spark side cannot hash-match
+        WITH d AS (
+            SELECT doc_id, doc_id % 6 + 1 AS bw, n_chars % 4 + 1 AS bh
+            FROM documents
+        ),
+        blk AS (
+            SELECT doc_id, bw, bh, gy, gx,
+                   (11 * doc_id + 7 * gx + 13 * gy) % 201 - 100 AS dc
+            FROM d,
+                 UNNEST(generate_series(0, CAST(bh - 1 AS BIGINT))) t1(gy),
+                 UNNEST(generate_series(0, CAST(bw - 1 AS BIGINT))) t2(gx)
+        )
+        SELECT doc_id,
+               CAST(bw * 8 AS INTEGER) AS width,
+               CAST(bh * 8 AS INTEGER) AS height,
+               CAST(bw * bh * 64 AS INTEGER) AS n_px,
+               CAST(sum(64 * (dc + 128)) AS BIGINT) AS px_sum,
+               CAST(min(dc) + 128 AS INTEGER) AS px_min,
+               CAST(max(dc) + 128 AS INTEGER) AS px_max,
+               string_agg(CAST(64 * (dc + 128) AS VARCHAR), '|'
+                          ORDER BY gy, gx) AS block_sums
+        FROM blk GROUP BY doc_id, bw, bh ORDER BY doc_id
     """,
 }
 

@@ -80,7 +80,7 @@ def test_driver_window_covers_kg_spine_and_recent_rewrites():
         # new-query policy: shuffle-regime staged pipeline, A6 edge
         # materialization, C6 truncated-id repair
         "q45_triples_staged_shuffle", "q46_entity_edges",
-        "q47_repair_ids",
+        "q47_repair_ids", "mm05_jpeg_pixels",
         # range-balanced _dense_ids rewrite (queries_kg.py r7) — every
         # query built on _centroid_corpus_kb/_prior_corpus_kb, plus
         # the staged q44/q45 whose scratch anchor moved

@@ -319,3 +319,117 @@ def test_prop_feature_math_matches_bruteforce(w, h, seed):
                 exp_gv += abs(int(px[y, x]) - int(px[y - 1, x]))
     assert list(hist) == exp_hist
     assert (grad_h, grad_v) == (exp_gh, exp_gv)
+
+
+# ---- real-JPEG pixel path (mm05) -------------------------------------
+
+from grisp_spark.operators.multimodal import (  # noqa: E402
+    _jpeg_qtable,
+    jpeg_decode,
+    jpeg_encode_blocks,
+)
+
+
+def _ref_idct(coef):
+    # independent IDCT straight off the T.81 formula (quadruple cos
+    # loop) — shares nothing with the decoder's basis-matrix product
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            out[y, x] = s / 4
+    return out
+
+
+def test_jpeg_dc_only_exact():
+    """The mm05 fixture profile: DC-only blocks under q00=8 decode to
+    EXACTLY DC+128 on every pixel of the block — the integer identity
+    the DuckDB oracle relies on. Also header-parser-valid (shared
+    schema with the mm01 path)."""
+    rng = np.random.default_rng(7)
+    for bw, bh in [(1, 1), (3, 2), (6, 4)]:
+        dc = rng.integers(-100, 101, size=(bh, bw))
+        coefs = np.zeros((bh, bw, 8, 8), dtype=np.int64)
+        coefs[:, :, 0, 0] = dc
+        b = jpeg_encode_blocks(coefs, _jpeg_qtable())
+        assert parse_media_header(b) == (bw * 8, bh * 8, "jpeg")
+        px = jpeg_decode(b)
+        exp = np.repeat(np.repeat(dc + 128, 8, axis=0), 8, axis=1)
+        assert px is not None and (px == exp).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+    dri=st.sampled_from([0, 1, 2, 5]),
+)
+def test_prop_jpeg_ac_roundtrip(bw, bh, seed, dri):
+    """General baseline coding — random quantized AC coefficients
+    (run-lengths, ZRL, EOB), random quant tables, restart intervals —
+    must decode to within half an output step of an INDEPENDENT
+    cos-formula IDCT (the decoder rounds a float64 whose true value
+    sits within 1e-9, so pixels are pinned up to a genuine 0.5
+    boundary that random integer coefficients never hit)."""
+    rng = np.random.default_rng(seed)
+    qt = rng.integers(1, 33, size=(8, 8))
+    coefs = rng.integers(-30, 31, size=(bh, bw, 8, 8))
+    coefs = np.where(rng.random(size=coefs.shape) < 0.8, 0, coefs)
+    px = jpeg_decode(jpeg_encode_blocks(coefs, qt, restart_interval=dri))
+    assert px is not None and px.shape == (bh * 8, bw * 8)
+    for by in range(bh):
+        for bx in range(bw):
+            ref = np.clip(
+                _ref_idct((coefs[by, bx] * qt).astype(float)) + 128, 0, 255
+            )
+            got = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            assert (np.abs(got - ref) <= 0.5 + 1e-6).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(garbage=st.binary(max_size=200))
+def test_prop_jpeg_decode_never_raises(garbage):
+    out = jpeg_decode(garbage)
+    assert out is None or out.dtype == np.uint8
+
+
+def test_jpeg_decode_truncation_and_mutation_robust():
+    coefs = np.zeros((2, 3, 8, 8), dtype=np.int64)
+    coefs[:, :, 0, 0] = 50
+    b = jpeg_encode_blocks(coefs, _jpeg_qtable())
+    for cut in (0, 1, 2, 10, 30, 80, len(b) - 4):
+        out = jpeg_decode(b[:cut])
+        assert out is None or out.shape == (16, 24)
+    # corrupt the entropy segment: decode must fail cleanly or stay
+    # in-shape, never raise
+    for i in range(len(b) - 12, len(b) - 2):
+        mut = bytearray(b)
+        mut[i] ^= 0x55
+        out = jpeg_decode(bytes(mut))
+        assert out is None or out.shape == (16, 24)
+
+
+def test_jpeg_progressive_and_multicomponent_rejected():
+    """The decoder is BASELINE sequential grayscale: progressive SOF2
+    and multi-component SOF0 streams return None (clean skip at
+    scale), they don't mis-decode."""
+    coefs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    b = jpeg_encode_blocks(coefs, _jpeg_qtable())
+    prog = b.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert jpeg_decode(prog) is None
+    # patch the SOF component count byte (1 -> 3)
+    i = b.index(b"\xff\xc0")
+    mut = bytearray(b)
+    assert mut[i + 9] == 1  # Nf
+    mut[i + 9] = 3
+    assert jpeg_decode(bytes(mut)) is None
