@@ -21,8 +21,11 @@ aggregation shapes."""
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from grisp_spark.kg.spec import BOUNDARY_PATTERN
 from grisp_spark.kg.stats import occ_doc_agg
@@ -178,9 +181,8 @@ def _dense_ids(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
     job and the ranking job could each draw different boundaries).
     Phase 2 collects the tiny per-partition count vector (P rows, the
     same driver-size class as ta09's 1-row N — this count job doubles
-    as the cache materialization), ranks within each partition, and
-    adds the cumulative count of earlier partitions map-side via a
-    broadcast join: rank-within-partition + offset == the global
+    as the cache materialization) and assigns
+    rank-within-partition + cumulative-offset == the global
     row_number, so the DuckDB oracles keep their `row_number() OVER
     (ORDER BY ...)` replay byte-for-byte unchanged. NULL major keys
     (ADVICE r6: the prefix join silently dropped them) now survive —
@@ -189,31 +191,65 @@ def _dense_ids(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
     oracle over null-keyed rows would need explicit NULLS FIRST
     (today's callers have non-null keys).
 
-    Measured cost of the funnel removal (sf0.1, local[32], idle box,
-    re-measured for the range shape in round 7 — see
-    BENCH/BASELINE.md): the blocking count job + offset broadcast
-    join, constant in corpus size. In-plan cumulative-sum offsets (no
-    collect) were measured WORSE in r6 (the un-materialized base is
-    read twice inside one job) and stay rejected. The constant is the
-    price of never funneling a 10^8-row multilingual sense table
-    through one task."""
-    spark = df.sparkSession
+    SINGLE-shuffle since late r7: the first range-balanced shape
+    ranked within _pid via a row_number window, and Catalyst — unable
+    to know rangepartitioning(order_cols) already clusters by _pid —
+    inserted a second full exchange (hashpartitioning(_pid)) plus a
+    sort for it. Phase 2 is now a stateful Arrow pass over the
+    persisted, locally-sorted range layout instead: a running counter
+    seeded with the partition's cumulative offset (carried in the
+    task closure — P entries, the same driver-size class as before).
+    Ranks are identical — same total order, same offsets — so the
+    DuckDB `row_number() OVER (ORDER BY ...)` oracle replay is
+    untouched; the second shuffle and the window sort are gone. This
+    is the narrow per-partition-state case the repo's no-Python rule
+    carves out (mapInPandas, vectorized np.arange per batch — no
+    per-row work), and the only DataFrame-level way to express
+    zipWithIndex without re-shuffling: a window on _pid cannot reuse
+    the range exchange's clustering.
+
+    Measured (scripts/dense_id_scale_ab.py, min of warm passes):
+    sf0.1 bootstrap 0.33 s vs 0.46 s for the window shape; synthetic
+    2M-sense vocab 0.72 vs 1.14 s; 8M 2.15 vs 4.38 s (2.0×, and 5.4×
+    vs the old single-partition window) — the two-exchange shape's
+    cost grew with the table, the one-exchange shape halves it. The
+    blocking per-partition count job (doubles as the cache
+    materialization) remains, constant in corpus size. In-plan
+    cumulative-sum offsets (no collect) were measured WORSE in r6
+    (the un-materialized base is read twice inside one job) and stay
+    rejected."""
     base = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    offs, acc = [], 0
+    offs, acc = {}, 0
     for r in base.groupBy("_pid").count().orderBy("_pid").collect():
-        offs.append((int(r["_pid"]), acc))
-        acc += r["count"]
-    off_df = spark.createDataFrame(offs, "_pid int, _off long")
-    w = W.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        base.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, (F.row_number().over(w) + F.col("_off")).cast("long"))
-        .drop("_pid", "_off")
+        offs[int(r["_pid"])] = acc
+        acc += int(r["count"])
+    # StructType.add MUTATES self — build a copy so the persisted
+    # frame's cached schema stays intact
+    schema = T.StructType(
+        list(base.schema.fields) + [T.StructField(out_col, T.LongType())]
     )
+
+    def _assign(batches):
+        # one task == one cached range partition; batches arrive in
+        # the partition's stored (sorted) order, so a running counter
+        # over np.arange IS the within-partition row_number
+        pos = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pos is None:
+                pos = offs[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf[out_col] = np.arange(pos + 1, pos + len(pdf) + 1, dtype="int64")
+            pos += len(pdf)
+            yield pdf
+
+    return base.mapInPandas(_assign, schema).drop("_pid")
 
 
 def _centroid_corpus_kb(spark: SparkSession, sf_dir: str):

@@ -39,6 +39,50 @@ def _old_single_window(df, order_cols, out_col):
     return df.withColumn(out_col, F.row_number().over(w).cast("long"))
 
 
+def _arrow_zip(df, order_cols, out_col):
+    """Candidate r7 shape: SINGLE-shuffle zipWithIndex. The shipped
+    two-phase shape pays a second full exchange — Catalyst cannot know
+    rangepartitioning(order_cols) already clusters by _pid, so the
+    ranking window inserts Exchange hashpartitioning(_pid). Here the
+    within-partition rank comes from a stateful Arrow pass over the
+    ALREADY range-partitioned, locally-sorted, persisted layout: a
+    running counter seeded with the partition's cumulative offset.
+    Ranks are identical (same total order, same offsets); the second
+    shuffle and the window sort disappear."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    offs, acc = {}, 0
+    for r in base.groupBy("_pid").count().orderBy("_pid").collect():
+        offs[int(r["_pid"])] = acc
+        acc += int(r["count"])
+    # StructType.add MUTATES (and returns) self — copying keeps the
+    # input frame's cached schema intact
+    schema = StructType(
+        list(base.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def assign(batches):
+        pos = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pos is None:
+                pos = offs[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf[out_col] = np.arange(pos + 1, pos + len(pdf) + 1, dtype="int64")
+            pos += len(pdf)
+            yield pdf
+
+    return base.mapInPandas(assign, schema).drop("_pid")
+
+
 def _bootstrap_base(spark, sf_dir):
     """_centroid_corpus_kb's sense table up to (but excluding) the
     dense-id assignment — the exact frame _dense_ids receives."""
@@ -78,6 +122,7 @@ def main() -> None:
         "single_window": lambda df: _old_single_window(
             df, ["token", "role"], "entity_id"
         ),
+        "arrow_zip": lambda df: _arrow_zip(df, ["token", "role"], "entity_id"),
     }
     out: dict = {"passes": {}, "rows": {}}
     t0_steal = _steal_ticks()

@@ -34,10 +34,10 @@ if name == "q39_triples_prior_shuffle":
     # under the disabled thresholds every BroadcastExchange must come
     # from an explicit hint on a provably tiny frame: rewrite_linked's
     # canonical map (canonicalize.py:69, joins on entity_id and
-    # projects canonical_id) or _dense_ids' partition-offset vector
-    # (an ExistingRDD scan of (_pid, _off) — one row per range
-    # partition; it renders once per consuming subtree with a
-    # distinct plan_id, so identify builds by content, don't count).
+    # projects canonical_id). Since the late-r7 single-shuffle
+    # _dense_ids the partition-offset vector rides in the Arrow task
+    # closure, so no _pid offset broadcast should render at all —
+    # but keep accepting it by content in case a build re-plans.
     # The KB/linking joins themselves must all be shuffle joins.
     lines = plan.split("\\n")
     for i, ln in enumerate(lines):

@@ -118,21 +118,23 @@ def test_kb_bootstrap_no_single_partition_window(spark, sf_dir):
     must not funnel the sense table through one task, and its
     parallelism must be range-BALANCED, not bounded by the hottest
     key prefix. _dense_ids range-partitions by the order columns
-    (Exchange rangepartitioning — true zipWithIndex layout), ranks
-    within the stamped partition id, and adds broadcast offsets; the
+    (Exchange rangepartitioning — true zipWithIndex layout) and ranks
+    within the stamped partition id via the stateful Arrow pass; the
     physical plan of BOTH flagship modes must contain the range
-    exchange, a partitioned Window on _pid, and no Exchange
-    SinglePartition anywhere (an unpartitioned window is exactly an
-    Exchange SinglePartition followed by WindowExec)."""
+    exchange and the MapInPandas node, no Exchange SinglePartition
+    anywhere (an unpartitioned window is exactly an Exchange
+    SinglePartition followed by WindowExec), and — the late-r7
+    single-shuffle pin — no second exchange on the stamped partition
+    id (the old window shape re-shuffled hashpartitioning(_pid))."""
     from grisp_spark import queries_kg
 
     for build in (queries_kg._centroid_corpus_kb, queries_kg._prior_corpus_kb):
         _conv, kb = build(spark, sf_dir)
         plan = _plan(kb["entities"])
         assert "Exchange SinglePartition" not in plan, plan
-        assert "Window" in plan, plan  # the ranking window is still there
+        assert "MapInPandas" in plan, plan  # the Arrow rank pass
         assert "Exchange rangepartitioning" in plan, plan
-        assert "Exchange hashpartitioning(_pid" in plan, plan
+        assert "Exchange hashpartitioning(_pid" not in plan, plan
     # and the final triples plan stays funnel-free too
     for q in ("q37_kg_triples_flagship", "q38_kg_triples_prior"):
         plan = _plan(entry_mod.queries()[q](spark, sf_dir))
