@@ -208,16 +208,21 @@ def _dense_ids(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
     zipWithIndex without re-shuffling: a window on _pid cannot reuse
     the range exchange's clustering.
 
-    Measured (scripts/dense_id_scale_ab.py, min of warm passes):
-    sf0.1 bootstrap 0.33 s vs 0.46 s for the window shape; synthetic
-    2M-sense vocab 0.72 vs 1.14 s; 8M 2.15 vs 4.38 s (2.0×, and 5.4×
-    vs the old single-partition window) — the two-exchange shape's
-    cost grew with the table, the one-exchange shape halves it. The
-    blocking per-partition count job (doubles as the cache
-    materialization) remains, constant in corpus size. In-plan
-    cumulative-sum offsets (no collect) were measured WORSE in r6
-    (the un-materialized base is read twice inside one job) and stay
-    rejected."""
+    Measured (scripts/dense_id_scale_ab.py, clean 6.9-CPU-s-steal
+    run, min of warm passes): sf0.1 bootstrap 0.320 s vs 0.332 for
+    the window shape, synthetic 2M senses 0.655 vs 0.673, 8M 2.27 vs
+    2.00 — on local[32] the shapes are near-parity because a local
+    shuffle is a memory copy; the +13% at 8M is the Arrow
+    serialization the rank pass pays. The shape is chosen on the
+    cluster cost model, where the prices flip: the removed exchange
+    is a full network+disk pass (plus sort) over a 10^8-row sense
+    table on a real cluster, the Arrow pass is node-local CPU. The
+    local evidence that matters is the driver workload: kg06's clean
+    floor moved 5.70 → 5.195 s on the switch. The blocking
+    per-partition count job (doubles as the cache materialization)
+    remains, constant in corpus size. In-plan cumulative-sum offsets
+    (no collect) were measured WORSE in r6 (the un-materialized base
+    is read twice inside one job) and stay rejected."""
     base = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
