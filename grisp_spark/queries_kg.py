@@ -161,7 +161,12 @@ def kg05_adjacency_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dense_ids(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
+def _dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    group_min: tuple[str, str] | None = None,
+) -> DataFrame:
     """Two-phase deterministic dense ids — the 1-based global rank by
     ``order_cols`` (rows unique on the keys) computed WITHOUT an
     unpartitioned window (the VERDICT r5 scale fix: `row_number()
@@ -222,36 +227,128 @@ def _dense_ids(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
     per-partition count job (doubles as the cache materialization)
     remains, constant in corpus size. In-plan cumulative-sum offsets
     (no collect) were measured WORSE in r6 (the un-materialized base
-    is read twice inside one job) and stay rejected."""
+    is read twice inside one job) and stay rejected.
+
+    ``group_min=(group_col, min_col)`` (group_col MUST equal
+    order_cols[0]) additionally emits ``min_col`` = the group's
+    minimum ``out_col`` — i.e. exactly
+    ``min(out_col) OVER (PARTITION BY group_col)`` — inside the SAME
+    Arrow pass, removing that window's full `hashpartitioning(
+    group_col)` exchange too (the same Catalyst blindness: it cannot
+    know the range layout already clusters the groups). Within a
+    partition the group min is the id of the group's first row
+    (rows are sorted); the only correction needed is for groups that
+    SPAN a range-partition boundary, and a group spans into
+    partition k iff it is both partition k's first key and partition
+    k-1's last key. The driver walk below resolves those spans from
+    two P-row statistics (first/last key per partition and the
+    last-key group's local start position) collected from the cached
+    layout — the same driver-size class as the offsets."""
     base = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    gcol, mcol = group_min if group_min is not None else (None, None)
+    if gcol is not None and gcol != order_cols[0]:
+        raise ValueError("group_min key must be the major order column")
+    stats = {}  # pid -> (n, first_key, last_key)
+    aggs = [F.count("*").alias("n")]
+    if gcol is not None:
+        # partition-local sort by (gcol, ...) makes min/max the
+        # first/last keys of the partition
+        aggs += [F.min(gcol).alias("fk"), F.max(gcol).alias("lk")]
+    for r in base.groupBy("_pid").agg(*aggs).orderBy("_pid").collect():
+        stats[int(r["_pid"])] = (
+            int(r["n"]),
+            r["fk"] if gcol is not None else None,
+            r["lk"] if gcol is not None else None,
+        )
+    spill = {}  # pid -> (spilled-in key, its true global min id)
+    if gcol is not None:
+        # local start position of each partition's LAST key group =
+        # rows before it = count(key < last_key); one P-row agg over
+        # the cached layout
+        lk_field = base.schema[gcol]
+        lk_df = df.sparkSession.createDataFrame(
+            [(p, v[2]) for p, v in stats.items() if v[0]],
+            T.StructType(
+                [
+                    T.StructField("_pid", T.IntegerType()),
+                    T.StructField("_lk", lk_field.dataType),
+                ]
+            ),
+        )
+        before_last = {
+            int(r["_pid"]): int(r["bl"])
+            for r in base.join(F.broadcast(lk_df), "_pid")
+            .groupBy("_pid")
+            .agg(
+                F.sum(
+                    F.when(F.col(gcol) < F.col("_lk"), 1).otherwise(0)
+                ).alias("bl")
+            )
+            .collect()
+        }
     offs, acc = {}, 0
-    for r in base.groupBy("_pid").count().orderBy("_pid").collect():
-        offs[int(r["_pid"])] = acc
-        acc += int(r["count"])
+    open_key, open_min = None, None
+    for pid in sorted(stats):
+        n, fk, lk = stats[pid]
+        offs[pid] = acc
+        if n and gcol is not None:
+            if open_key is not None and fk == open_key:
+                spill[pid] = (open_key, open_min)
+                if lk != open_key:
+                    open_key, open_min = lk, acc + before_last[pid] + 1
+                # else: the whole partition is the open group — its
+                # min stays where the group started
+            else:
+                open_key, open_min = lk, acc + before_last[pid] + 1
+        acc += n
     # StructType.add MUTATES self — build a copy so the persisted
     # frame's cached schema stays intact
-    schema = T.StructType(
-        list(base.schema.fields) + [T.StructField(out_col, T.LongType())]
-    )
+    fields = list(base.schema.fields) + [T.StructField(out_col, T.LongType())]
+    if gcol is not None:
+        fields.append(T.StructField(mcol, T.LongType()))
+    schema = T.StructType(fields)
 
     def _assign(batches):
         # one task == one cached range partition; batches arrive in
         # the partition's stored (sorted) order, so a running counter
         # over np.arange IS the within-partition row_number
         pos = None
+        fix_key = fix_min = None  # boundary-spanning group, if any
+        cur_key = cur_min = None  # carry the open group across batches
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
             if pos is None:
-                pos = offs[int(pdf["_pid"].iloc[0])]
+                pid = int(pdf["_pid"].iloc[0])
+                pos = offs[pid]
+                if pid in spill:
+                    fix_key, fix_min = spill[pid]
             pdf = pdf.copy()
-            pdf[out_col] = np.arange(pos + 1, pos + len(pdf) + 1, dtype="int64")
-            pos += len(pdf)
+            eids = np.arange(pos + 1, pos + n + 1, dtype="int64")
+            pdf[out_col] = eids
+            if gcol is not None:
+                keys = pdf[gcol].to_numpy()
+                change = np.empty(n, dtype=bool)
+                change[1:] = keys[1:] != keys[:-1]
+                change[0] = cur_key is None or keys[0] != cur_key
+                # group min = id at the group's last start position
+                starts = np.where(change, np.arange(n), 0)
+                np.maximum.accumulate(starts, out=starts)
+                vals = np.where(change, eids, 0)
+                if not change[0]:
+                    vals[0] = cur_min  # group continues a prior batch
+                mins = vals[starts]
+                if fix_key is not None:
+                    mins = np.where(keys == fix_key, fix_min, mins)
+                pdf[mcol] = mins
+                cur_key, cur_min = keys[-1], int(mins[-1])
+            pos += n
             yield pdf
 
     return base.mapInPandas(_assign, schema).drop("_pid")
@@ -403,11 +500,15 @@ def _prior_corpus_kb(spark: SparkSession, sf_dir: str):
     base = senses.join(labs, "label")
     # ent cached like _centroid_corpus_kb's: it feeds entities,
     # label_stats AND (via entities) the canonical map, so without the
-    # cache the ranking window + offset join recompute once per
-    # consumer (the kg06 A/B in _dense_ids' docstring measured the
-    # no-ent-cache shape strictly worse)
-    ent = _dense_ids(base, ["label", "role"], "entity_id").withColumn(
-        "min_eid", F.min("entity_id").over(W.partitionBy("label"))
+    # cache the ranking pass recomputes once per consumer (the kg06
+    # A/B in _dense_ids' docstring measured the no-ent-cache shape
+    # strictly worse). min_eid — min(entity_id) per label, the
+    # redirect-star target — rides the SAME Arrow pass via group_min
+    # instead of a min() window, whose hashpartitioning(label)
+    # exchange re-shuffled the whole sense table Catalyst-blindly
+    # (the range layout already clusters labels).
+    ent = _dense_ids(
+        base, ["label", "role"], "entity_id", group_min=("label", "min_eid")
     ).cache()
     entities = ent.select(
         "entity_id",

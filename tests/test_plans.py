@@ -135,6 +135,10 @@ def test_kb_bootstrap_no_single_partition_window(spark, sf_dir):
         assert "MapInPandas" in plan, plan  # the Arrow rank pass
         assert "Exchange rangepartitioning" in plan, plan
         assert "Exchange hashpartitioning(_pid" not in plan, plan
+        # the prior KB's min_eid used to be a min() window — its
+        # hashpartitioning(label) exchange now rides the same Arrow
+        # pass via group_min; neither entities frame windows at all
+        assert "Window" not in plan, plan
     # and the final triples plan stays funnel-free too
     for q in ("q37_kg_triples_flagship", "q38_kg_triples_prior"):
         plan = _plan(entry_mod.queries()[q](spark, sf_dir))
