@@ -180,6 +180,49 @@ def main() -> None:
                     times.append(round(dt, 3))
                 spark.catalog.clearCache()
             out["passes"][f"synth{n}.{shape}"] = times
+    # --- group_min vs window-min on a multi-sense vocabulary --------------
+    # 1M labels × 8 roles: min_eid (min id per label — the prior KB's
+    # redirect-star target) via the pre-late-r7 min() window vs riding
+    # the same Arrow pass (group_min). The window shape pays a full
+    # hashpartitioning(label) exchange of the 8M-row table on top of
+    # the rank pass; the in-pass shape pays two extra P-row stats jobs.
+    n = 8_000_000
+    base = (
+        spark.range(n)
+        .select(
+            F.md5((F.col("id") / 8).cast("long").cast("string")).alias("label"),
+            (F.col("id") % 8).cast("string").alias("role"),
+        )
+        .repartition(32)
+    )
+    min_shapes = {
+        "window_min": lambda df: _dense_ids(df, ["label", "role"], "eid").withColumn(
+            "min_eid", F.min("eid").over(W.partitionBy("label"))
+        ),
+        "inpass_min": lambda df: _dense_ids(
+            df, ["label", "role"], "eid", group_min=("label", "min_eid")
+        ),
+    }
+    sums = {}
+    for shape, fn in min_shapes.items():
+        times = []
+        for i in range(3):  # pass 0 = warm-up, 1-2 measured
+            df = fn(base)
+            t0 = time.monotonic()
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.max("eid").alias("mx"),
+                F.sum("min_eid").alias("sm"),
+            ).collect()[0]
+            dt = time.monotonic() - t0
+            assert (row["n"], row["mx"]) == (n, n), row
+            sums[shape] = int(row["sm"])
+            if i:
+                times.append(round(dt, 3))
+            spark.catalog.clearCache()
+        out["passes"][f"mineid{n}.{shape}"] = times
+    # both shapes must produce the identical min_eid assignment
+    assert sums["window_min"] == sums["inpass_min"], sums
     out["steal_cpu_s"] = round((_steal_ticks() - t0_steal) / 100.0, 1)
     for key in ("sf0.01", "sf0.1"):
         tp = min(out["passes"][f"{key}.two_phase"])
