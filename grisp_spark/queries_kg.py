@@ -243,7 +243,11 @@ def _dense_ids(
     k-1's last key. The driver walk below resolves those spans from
     two P-row statistics (first/last key per partition and the
     last-key group's local start position) collected from the cached
-    layout — the same driver-size class as the offsets."""
+    layout — the same driver-size class as the offsets. group_min
+    additionally requires NON-NULL group keys: the spill statistics
+    use min/max(gcol), which ignore nulls, so a null group spanning a
+    boundary would be mis-fixed (rank assignment itself still
+    handles nulls; today's callers have non-null keys either way)."""
     base = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
