@@ -689,6 +689,10 @@ def jpeg_encode_blocks(coefs, qtable, restart_interval: int = 0) -> bytes:
         dc = int(block[0, 0])
         s, val = _mag_bits(dc - pred)
         pred = dc
+        if s > 11:  # baseline DC categories are 0-11 (T.81 F.1.2.1.2)
+            raise ValueError(
+                f"DC diff {dc} out of baseline range (|diff| <= 2047)"
+            )
         code, ln = dc_codes[s]
         w.put(code, ln)
         if s:
@@ -705,6 +709,10 @@ def jpeg_encode_blocks(coefs, qtable, restart_interval: int = 0) -> bytes:
                 w.put(code, ln)
                 run -= 16
             s, val = _mag_bits(zz[k])
+            if s > 10:  # baseline AC sizes are 1-10 (T.81 F.1.2.2.1)
+                raise ValueError(
+                    f"AC coefficient {zz[k]} out of baseline range (|v| <= 1023)"
+                )
             code, ln = ac_codes[(run << 4) | s]
             w.put(code, ln)
             w.put(val, s)
@@ -853,6 +861,13 @@ def jpeg_decode(b: bytes):
                 return None
             h, w = struct.unpack(">HH", seg[1:5])
             if seg[5] != 1 or seg[7] != 0x11:  # one component, 1×1
+                return None
+            # reject degenerate/hostile frames BEFORE any allocation:
+            # h==0/w==0 would return a 0-sized array (downstream
+            # kernels index [-1] → stage death instead of a skipped
+            # blob), and a 200-byte stream declaring 65535×65535
+            # would allocate ~4 GB of block planes unvalidated
+            if h == 0 or w == 0 or h * w > 16_777_216:  # 16 Mpx cap
                 return None
             dims = (h, w, seg[8])
         elif marker in _JPEG_SOF:  # progressive etc. — unsupported

@@ -433,3 +433,46 @@ def test_jpeg_progressive_and_multicomponent_rejected():
     assert mut[i + 9] == 1  # Nf
     mut[i + 9] = 3
     assert jpeg_decode(bytes(mut)) is None
+
+
+def test_jpeg_zero_and_hostile_dims_rejected():
+    """Review finding (r7): a SOF0 declaring height=0/width=0 used to
+    decode to a (0, 0) array — jpeg_pixel_stats only skips None, so
+    the empty array killed the whole mapInPandas stage on `gy[-1]`.
+    Hostile dims (65535x65535 from a 200-byte blob) would allocate
+    ~4 GB of block planes before any entropy validation. Both must
+    return None (blob skipped, stage lives)."""
+    coefs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    coefs[0, 0, 0, 0] = 10
+    b = jpeg_encode_blocks(coefs, _jpeg_qtable())
+    i = b.index(b"\xff\xc0")
+    for h, w in ((0, 8), (8, 0), (0, 0), (65535, 65535)):
+        mut = bytearray(b)
+        mut[i + 5 : i + 9] = struct.pack(">HH", h, w)
+        assert jpeg_decode(bytes(mut)) is None, (h, w)
+    # and the original still round-trips after the guard
+    assert jpeg_decode(b).shape == (8, 8)
+
+
+def test_jpeg_encode_rejects_out_of_baseline_coefficients():
+    """Review finding (r7): baseline Huffman categories cap |DC diff|
+    at 2047 and |AC| at 1023 — values beyond that used to die with a
+    bare KeyError inside the table lookup. They must raise ValueError
+    with context instead."""
+    import pytest
+
+    qt = _jpeg_qtable()
+    dc_hot = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    dc_hot[0, 0, 0, 0] = 3000  # DC-diff category 12
+    with pytest.raises(ValueError, match="DC diff"):
+        jpeg_encode_blocks(dc_hot, qt)
+    ac_hot = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    ac_hot[0, 0, 0, 1] = 2000  # AC size 11
+    with pytest.raises(ValueError, match="AC coefficient"):
+        jpeg_encode_blocks(ac_hot, qt)
+    # boundary values stay encodable and round-trip
+    ok = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    ok[0, 0, 0, 0] = 2047
+    ok[0, 0, 0, 1] = 1023
+    ok[0, 0, 1, 0] = -1023
+    assert jpeg_decode(jpeg_encode_blocks(ok, qt)) is not None
