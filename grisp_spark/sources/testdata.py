@@ -30,9 +30,68 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# --- small-scan fan-out (optimization guide §2.5 "input skew") -------------
+#
+# The driver-generated tables are single-file, SINGLE-ROW-GROUP parquet,
+# and Spark assigns a parquet row group to exactly one scan task — so no
+# matter how `maxPartitionBytes` splits the byte range, every query's
+# pre-shuffle work (tokenize/explode/md5 chains, Arrow kernels) runs on
+# ONE core. That is the guide's "one huge unsplittable file" case; the
+# prescribed remedy is a repartition immediately after the read. The
+# repartition is gated on the actual input size so it never fires on a
+# production-scale table (where the scan splits naturally and an extra
+# exchange of the payload would be pure waste): inputs above
+# FAN_OUT_MAX_BYTES, multi-file inputs wider than the core count, and
+# non-local paths (un-statable cheaply) all skip it.
+#
+# CORRECTNESS SCOPE: fan-out reorders rows across partitions, so it is
+# applied ONLY to tables whose every consumer is order-insensitive
+# (exact integer/decimal aggregation, min/max, md5/set semantics,
+# per-row kernels, or fully-tiebroken windows): `documents` and
+# `embeddings` (audited in OPTIMIZATION_r08.md). lineitem/orders/events
+# stay on the scan layout because q01/q03/q12/q21 hash-certify DOUBLE
+# partial sums whose association order must keep matching the DuckDB
+# oracle's sequential fold (CLAUDE.md float contract).
+FAN_OUT_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", str(256 * 1024 * 1024))
+)
+_FAN_OUT_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def _local_input_bytes(path: str) -> int | None:
+    """Total bytes of a local parquet file/dir; None when not cheaply
+    statable (remote filesystems → treat as big, skip fan-out)."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+    except OSError:
+        return None
+    return None
+
+
+def fan_out(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
+    """Hash-repartition a small scan across the session's cores before
+    heavy per-row compute. Deterministic (hash of a stable key column,
+    no round-robin), so retries are safe; callers must only use it
+    where downstream math is association-order-free."""
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = _FAN_OUT_TABLES.get(name)
+    if key is not None:
+        nbytes = _local_input_bytes(f"{sf_dir}/{name}.parquet")
+        if nbytes is not None and nbytes < FAN_OUT_MAX_BYTES:
+            df = fan_out(df, key)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

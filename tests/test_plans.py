@@ -163,8 +163,14 @@ def test_simhash_no_bit_explosion(spark, sf_dir):
     df = entry_mod.queries()["dd05_simhash"](spark, sf_dir)
     plan = _plan(df)
     assert plan.count("Generate") == 1, plan
-    # two aggregation shuffles: (doc_id, token) counts, then doc votes
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # r8: with the small-scan fan-out keyed on doc_id, BOTH aggregation
+    # steps ((doc_id, token) counts, then doc votes) satisfy their
+    # clustering from the one REPARTITION_BY_NUM exchange — the plan
+    # carries a single hash exchange total (was 2 agg exchanges before
+    # the fan-out; without it, at production scale, the two agg
+    # exchanges come back and the old bound applies)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan
 
 
 def test_adjacency_single_shuffle(spark, sf_dir):
