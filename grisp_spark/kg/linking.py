@@ -114,8 +114,15 @@ def build_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=None
     a broadcast as long as it fits (AQE would pick broadcast for the
     equivalent join anyway); beyond that, flip to a shuffle join on
     surface."""
-    gaz = _collect_gazetteer(kb)
-    ents = kb["entities"].select("entity_id", "context_vocab").toPandas()
+    from concurrent.futures import ThreadPoolExecutor
+
+    # two independent driver jobs, overlapped (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        gaz_f = pool.submit(_collect_gazetteer, kb)
+        ents_f = pool.submit(
+            kb["entities"].select("entity_id", "context_vocab").toPandas
+        )
+        gaz, ents = gaz_f.result(), ents_f.result()
     evecs = _evecs_from_ents(ents, wvec_bc)
     sc = spark.sparkContext
     return sc.broadcast(gaz), sc.broadcast(evecs)
@@ -131,19 +138,31 @@ def build_kb_broadcasts(spark: SparkSession, kb: dict[str, DataFrame], wvec_bc=N
     job; the reference's DumpExtractor.java:253-344 likewise builds
     all its LMDB caches in one pass). Broadcast-regime only, like its
     callers — beyond BROADCAST_LABEL_LIMIT use the shuffle path."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from grisp_spark.kg import canonicalize
 
-    gaz = _collect_gazetteer(kb)
     # redirect_to rides to the driver as STRING: a nullable long
     # column materializes in pandas as float64, and int(float) rounds
     # ids above 2^53 (the xxhash64-style ids kg06 KBs use) — the
     # string round-trip is lossless. entity_id itself is non-null and
     # stays exact int64.
-    ents = kb["entities"].select(
-        "entity_id",
-        "context_vocab",
-        F.col("redirect_to").cast("string").alias("redirect_to"),
-    ).toPandas()
+    #
+    # The two KB collections are independent driver jobs; submitting
+    # them from two threads overlaps their scheduling + fetch latency
+    # (guide §2.6) — the KB bootstrap path runs them back-to-back per
+    # flagship invocation otherwise.
+    def _ents_pdf():
+        return kb["entities"].select(
+            "entity_id",
+            "context_vocab",
+            F.col("redirect_to").cast("string").alias("redirect_to"),
+        ).toPandas()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        gaz_f = pool.submit(_collect_gazetteer, kb)
+        ents_f = pool.submit(_ents_pdf)
+        gaz, ents = gaz_f.result(), ents_f.result()
     evecs = _evecs_from_ents(ents, wvec_bc)
     redirect_pairs = [
         (int(e), int(t))
@@ -442,10 +461,13 @@ def _detect_all(tokens_by_row, gaz, idx, interned):
     return found_by_row
 
 
-def _link_rows(rows, gaz, evecs, idx, score_mode, vec_fn, evec_key):
+def _link_rows(texts, gaz, evecs, idx, score_mode, vec_fn, evec_key):
     """Shared kernel prelude: tokenize → batch-interned detection →
-    batch scoring. Returns picked_by_row."""
-    tokens_by_row = [spec.tokenize(r.text or "") for r in rows]
+    batch scoring. ``texts`` is a plain list of strings (guide §4: the
+    kernels iterate bare column lists, not itertuples rows — pandas
+    row tuples materialize every cell, Timestamps included, at ~1 µs
+    per row·column). Returns picked_by_row."""
+    tokens_by_row = [spec.tokenize(t or "") for t in texts]
     interned = _intern_tokens(tokens_by_row)
     found_by_row = _detect_all(tokens_by_row, gaz, idx, interned)
     return _pick_all(
@@ -538,21 +560,25 @@ def link_mentions(
         vec_fn = spec.store_vec_fn(wvec_bc.value) if wvec_bc is not None else None
         idx = _first_token_index(gaz, cache_key)
         for pdf in batches:
-            rows = list(pdf.itertuples(index=False))
             picked_by_row = _link_rows(
-                rows, gaz, evecs, idx, score_mode, vec_fn, evec_key
+                pdf["text"].tolist(), gaz, evecs, idx, score_mode, vec_fn,
+                evec_key,
             )
+            conv_ids = pdf["conv_id"].tolist()
+            turn_idxs = pdf["turn_idx"].tolist()
+            roles = pdf["role"].tolist()
+            tools = pdf["tool"].tolist()
             out: dict[str, list] = {
                 "conv_id": [], "turn_idx": [], "role": [], "tool": [],
                 "begin": [], "end": [], "surface": [], "entity_id": [],
                 "score": [],
             }
-            for row, picked in zip(rows, picked_by_row):
+            for i, picked in enumerate(picked_by_row):
                 for begin, end, surface, eid, score in picked:
-                    out["conv_id"].append(row.conv_id)
-                    out["turn_idx"].append(row.turn_idx)
-                    out["role"].append(row.role)
-                    out["tool"].append(row.tool)
+                    out["conv_id"].append(conv_ids[i])
+                    out["turn_idx"].append(turn_idxs[i])
+                    out["role"].append(roles[i])
+                    out["tool"].append(tools[i])
                     out["begin"].append(begin)
                     out["end"].append(end)
                     out["surface"].append(surface)
@@ -560,7 +586,12 @@ def link_mentions(
                     out["score"].append(score)
             yield pd.DataFrame(out)
 
-    laid_out = conv.repartition(n_partitions, "conv_id").sortWithinPartitions(
+    # guide §4: ship ONLY the columns the kernel reads (mapInPandas is
+    # opaque to Catalyst's pruning — without the select, unused input
+    # columns like ts cross the Arrow boundary on every row)
+    laid_out = conv.select(
+        "conv_id", "turn_idx", "role", "tool", "text"
+    ).repartition(n_partitions, "conv_id").sortWithinPartitions(
         "conv_id", "turn_idx"
     )
     return laid_out.mapInPandas(run, schema=LINKED_SCHEMA)
@@ -611,41 +642,58 @@ def link_and_extract(
         prev_conv: str | None = None
         prev_set: set[int] = set()
         for pdf in batches:
-            rows = list(pdf.itertuples(index=False))
             picked_by_row = _link_rows(
-                rows, gaz, evecs, idx, score_mode, vec_fn, evec_key
+                pdf["text"].tolist(), gaz, evecs, idx, score_mode, vec_fn,
+                evec_key,
             )
-            out: dict[str, list] = {
-                "conv_id": [], "turn_idx": [], "subj": [], "pred": [], "obj": [],
-            }
-
-            def emit(conv_id, turn_idx, subj, pred, obj):
-                out["conv_id"].append(conv_id)
-                out["turn_idx"].append(turn_idx)
-                out["subj"].append(subj)
-                out["pred"].append(pred)
-                out["obj"].append(obj)
-
-            for row, picked in zip(rows, picked_by_row):
-                if row.conv_id != prev_conv:
-                    prev_conv, prev_set = row.conv_id, set()
-                cur: set[int] = set()
-                for _begin, _end, _surface, eid, _score in picked:
-                    cur.add(canon.get(eid, eid))
-                tool = None if (row.tool is None or row.tool != row.tool) else row.tool
+            conv_ids = pdf["conv_id"].tolist()
+            turn_idxs = pdf["turn_idx"].tolist()
+            roles = pdf["role"].tolist()
+            tools = pdf["tool"].tolist()
+            # bound-method locals: the emit path appends ~3 triples per
+            # turn × 5 columns — a closure call + dict lookup per emit
+            # was ~25% of kernel time in the r8 profile
+            o_conv: list = []
+            o_turn: list = []
+            o_subj: list = []
+            o_pred: list = []
+            o_obj: list = []
+            ap_c, ap_t, ap_s = o_conv.append, o_turn.append, o_subj.append
+            ap_p, ap_o = o_pred.append, o_obj.append
+            canon_get = canon.get
+            for i, picked in enumerate(picked_by_row):
+                cid = conv_ids[i]
+                tix = turn_idxs[i]
+                if cid != prev_conv:
+                    prev_conv, prev_set = cid, set()
+                cur = {canon_get(p[3], p[3]) for p in picked}
+                tool = tools[i]
+                if tool is not None and tool != tool:  # NaN guard
+                    tool = None
+                role = roles[i]
                 for e in sorted(cur):
-                    emit(row.conv_id, row.turn_idx, e, "mentioned_by", row.role)
+                    ap_c(cid), ap_t(tix), ap_s(e)
+                    ap_p("mentioned_by"), ap_o(role)
                     if tool is not None:
-                        emit(row.conv_id, row.turn_idx, e, "used_with_tool", tool)
+                        ap_c(cid), ap_t(tix), ap_s(e)
+                        ap_p("used_with_tool"), ap_o(tool)
                 window = sorted(prev_set | cur)
-                for i, a in enumerate(window):
-                    for b in window[i + 1 :]:
+                for j, a in enumerate(window):
+                    for b in window[j + 1 :]:
                         if a in cur or b in cur:
-                            emit(row.conv_id, row.turn_idx, a, "co_occurs_with", str(b))
+                            ap_c(cid), ap_t(tix), ap_s(a)
+                            ap_p("co_occurs_with"), ap_o(str(b))
                 prev_set = cur
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {"conv_id": o_conv, "turn_idx": o_turn, "subj": o_subj,
+                 "pred": o_pred, "obj": o_obj}
+            )
 
-    laid_out = conv.repartition(n_partitions, "conv_id").sortWithinPartitions(
+    # guide §4: only the kernel's input columns cross the Arrow
+    # boundary (ts in particular never did anything but serialize)
+    laid_out = conv.select(
+        "conv_id", "turn_idx", "role", "tool", "text"
+    ).repartition(n_partitions, "conv_id").sortWithinPartitions(
         "conv_id", "turn_idx"
     )
     return laid_out.mapInPandas(run, schema=TRIPLES_SCHEMA)
@@ -664,23 +712,24 @@ def detect_only(conv: DataFrame, gaz_bc, n_partitions: int | None = None) -> Dat
         idx = _first_token_index(gaz, cache_key)
         for pdf in batches:
             rows = {"conv_id": [], "turn_idx": [], "begin": [], "end": [], "surface": []}
-            row_list = list(pdf.itertuples(index=False))
-            tokens_by_row = [spec.tokenize(r.text or "") for r in row_list]
+            conv_ids = pdf["conv_id"].tolist()
+            turn_idxs = pdf["turn_idx"].tolist()
+            tokens_by_row = [spec.tokenize(t or "") for t in pdf["text"].tolist()]
             found_by_row = _detect_all(
                 tokens_by_row, gaz, idx, _intern_tokens(tokens_by_row)
             )
-            for row, found in zip(row_list, found_by_row):
+            for i, found in enumerate(found_by_row):
                 for begin, end, surface in found:
-                    rows["conv_id"].append(row.conv_id)
-                    rows["turn_idx"].append(row.turn_idx)
+                    rows["conv_id"].append(conv_ids[i])
+                    rows["turn_idx"].append(turn_idxs[i])
                     rows["begin"].append(begin)
                     rows["end"].append(end)
                     rows["surface"].append(surface)
             yield pd.DataFrame(rows)
 
-    laid_out = conv.repartition(n_partitions, "conv_id").sortWithinPartitions(
-        "conv_id", "turn_idx"
-    )
+    laid_out = conv.select("conv_id", "turn_idx", "text").repartition(
+        n_partitions, "conv_id"
+    ).sortWithinPartitions("conv_id", "turn_idx")
     return laid_out.mapInPandas(
         run, schema="conv_id string, turn_idx int, begin int, end int, surface string"
     )

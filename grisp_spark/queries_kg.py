@@ -56,17 +56,20 @@ def kg01_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = conv.select(
         "conv_id", F.filter(F.split("text", " "), lambda t: t != "").alias("w")
     )
-    unigrams = toks.select("conv_id", F.explode("w").alias("label"))
-    bigrams = toks.filter(F.size("w") >= 2).select(
-        "conv_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 2),
-                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 2)),
-            )
-        ).alias("label"),
+    # ONE explode of unigrams ++ bigrams instead of a two-branch union:
+    # union branches re-evaluate the shared derive/tokenize subtree
+    # once per branch (the r1 gotcha), so the concat halves the
+    # pre-shuffle work; row multiset (and the aggregation) unchanged
+    bigram_arr = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        "conv_id", F.explode(F.concat(F.col("w"), bigram_arr)).alias("label")
     )
-    grams = unigrams.unionByName(bigrams)
     return (
         occ_doc_agg(grams, ["label"], "text_occ", "text_doc")
         .filter(F.col("text_occ") >= MIN_OCC)

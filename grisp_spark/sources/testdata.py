@@ -55,7 +55,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FAN_OUT_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", str(256 * 1024 * 1024))
 )
-_FAN_OUT_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+# documents only: its consumers run HEAVY per-row work before any
+# shuffle (tokenize/shingle/md5 chains, PNG/JPEG decode kernels), so
+# spreading the scan pays. embeddings was tried and REVERTED (r8 A/B:
+# dd07 1.5→3.2s, ss01 1.2→?): its per-row work (sign buckets, one
+# 64-dim norm) is trivial, so the fan-out only added an exchange and
+# split the pandas-UDF stages into 32 tiny Arrow batches.
+_FAN_OUT_TABLES = {"documents": "doc_id"}
 
 
 def _local_input_bytes(path: str) -> int | None:
