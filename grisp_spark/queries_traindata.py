@@ -20,21 +20,21 @@ def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents")).orderBy(
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents", fan=True)).orderBy(
         "doc_id", "seed"
     )
 
 
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents", fan=True))
 
 
 def dd04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents", fan=True), threshold=0.1)
 
 
 def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash(load_table(spark, sf_dir, "documents", fan=True))
 
 
 def dd06_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,7 +67,7 @@ def dd09_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters (n-gram Jaccard pairs → connected components)
     collapsed to one survivor per cluster — the step that turns pair
     detection (dd03-dd08) into an actual deduplicated corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     pairs = dedup.jaccard_pairs(docs, threshold=0.1)
     return corpus.dedup_survivors(docs, pairs)
 
@@ -115,7 +115,7 @@ def ta07_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators: near-dup survivors → min-token filter → stratified
     sample → greedy packing. The full composition is replayed by one
     DuckDB statement (recursive CTEs for closure and packing)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     pairs = dedup.jaccard_pairs(docs, threshold=0.1)
     return corpus.build_training_corpus(
         docs,
@@ -137,7 +137,7 @@ def ta12_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate → stratified sample → greedy packing, replayed by one DuckDB
     statement (ta07's oracle re-scoped to the corpus subset + the dd12
     n-gram anti-join)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus_docs = docs.filter(F.col("doc_id") % 50 != 0)
     pairs = dedup.jaccard_pairs(corpus_docs, threshold=0.1)
@@ -210,7 +210,7 @@ def ta02_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ta03_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+    return textstats.token_counts(load_table(spark, sf_dir, "documents", fan=True))
 
 
 def ta04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,7 +236,7 @@ def mm02_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflate + unfilter the bytes to produce per-band integer pixel
     stats, which the oracle recomputes from the formula in SQL — a
     wrong unfilter cannot match."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     return multimodal.sample_frames_pixels(multimodal.synth_png(docs)).orderBy(
         "doc_id", "frame_idx"
     )
@@ -248,7 +248,7 @@ def mm03_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurizer computes (kernel must zlib-inflate + unfilter; the
     oracle recomputes every feature from the synth_png closed-form
     pixel grid in SQL)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     return multimodal.extract_features(multimodal.synth_png(docs)).orderBy(
         "doc_id"
     )
@@ -259,7 +259,7 @@ def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     #7): box-reduce each decoded image to a ≤4×4 grid of exact integer
     pixel sums (what a mean-pool resize computes before the divide),
     oracle-recomputed from the pixel formula in SQL."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     return multimodal.resize_pixels(multimodal.synth_png(docs)).orderBy("doc_id")
 
 
@@ -273,7 +273,7 @@ def mm05_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     huffman-decode + dequantize + IDCT the bytes (the general AC /
     ZRL / EOB / restart paths are pinned by pytest round-trips
     against an independent cos-formula IDCT)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     return multimodal.jpeg_pixel_stats(multimodal.synth_jpeg(docs)).orderBy(
         "doc_id"
     )
@@ -874,13 +874,13 @@ def dd10_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim 8-token-window substring-dedup pairs (the Lee et al.
     2022 exact-substring criterion at window granularity) — one
     hash-equi-join shuffle, hot-window df cap for skew."""
-    return dedup.substring_window_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.substring_window_pairs(load_table(spark, sf_dir, "documents", fan=True))
 
 
 def ta08_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate metrics, map-only (the
     top-frequency fractions are an in-row sort + fold)."""
-    return textstats.repetition_metrics(load_table(spark, sf_dir, "documents"))
+    return textstats.repetition_metrics(load_table(spark, sf_dir, "documents", fan=True))
 
 
 ORACLES["dd10_substring_windows"] = """
@@ -942,7 +942,7 @@ def ss05_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ta09_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per doc with exact rational idf (N/df)."""
-    return textstats.tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
+    return textstats.tfidf_topk(load_table(spark, sf_dir, "documents", fan=True), k=3)
 
 
 ORACLES["ta09_tfidf_topk"] = r"""
@@ -1023,7 +1023,7 @@ def dd12_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k = 1..(d % 4) appended — so ~3/4 of the corpus is flagged
     with n_hits spanning 1..3 (+ any natural overlap) and the oracle
     certifies a real n_hits distribution, not a single row."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
 
     def canary(b):
         return F.concat(F.lit(" eval"), b.cast("string"), F.lit(_DD12_TAIL))
@@ -1087,7 +1087,7 @@ def ta11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     technique as mm01's synthesized headers) — the hash then
     certifies real per-row match counts and replacement arithmetic,
     not a column of zeros."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     seeded = docs.select(
         "doc_id",
         F.concat(

@@ -44,24 +44,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # FAN_OUT_MAX_BYTES, multi-file inputs wider than the core count, and
 # non-local paths (un-statable cheaply) all skip it.
 #
-# CORRECTNESS SCOPE: fan-out reorders rows across partitions, so it is
-# applied ONLY to tables whose every consumer is order-insensitive
-# (exact integer/decimal aggregation, min/max, md5/set semantics,
-# per-row kernels, or fully-tiebroken windows): `documents` and
-# `embeddings` (audited in OPTIMIZATION_r08.md). lineitem/orders/events
-# stay on the scan layout because q01/q03/q12/q21 hash-certify DOUBLE
-# partial sums whose association order must keep matching the DuckDB
-# oracle's sequential fold (CLAUDE.md float contract).
+# CORRECTNESS SCOPE: fan-out reorders rows across partitions, so it
+# may only be requested where every downstream consumer is
+# order-insensitive (exact integer/decimal aggregation, min/max,
+# md5/set semantics, per-row kernels, or fully-tiebroken windows) —
+# audited per call site in OPTIMIZATION_r08.md. lineitem/orders/events
+# must NEVER fan: q01/q03/q12/q21 hash-certify DOUBLE partial sums
+# whose association order must keep matching the DuckDB oracle's
+# sequential fold (CLAUDE.md float contract).
+#
+# COST SCOPE (r8 A/B, quiet minima): the exchange costs ~0.2-0.3 s at
+# local scale, so fan-out is OPT-IN per consumer — queries whose
+# pre-shuffle work is heavy (shingle/md5 chains, regex extraction,
+# in-row sort folds, PNG/JPEG Python decode, the KG derive/link
+# kernels) fan; trivially-mapped queries (one md5 or a short fold per
+# row: dd01, ta04, ta05, mm01, q14…) measured strictly WORSE fanned
+# (e.g. dd01 0.58→0.85, ta05 0.33→0.64, ta04 0.50→0.70) and stay on
+# the scan layout. embeddings consumers likewise stay unfanned (dd07
+# 1.5→3.2 s fanned: trivial per-row work + 32-way-split pandas-UDF
+# batches).
 FAN_OUT_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", str(256 * 1024 * 1024))
 )
-# documents only: its consumers run HEAVY per-row work before any
-# shuffle (tokenize/shingle/md5 chains, PNG/JPEG decode kernels), so
-# spreading the scan pays. embeddings was tried and REVERTED (r8 A/B:
-# dd07 1.5→3.2s, ss01 1.2→?): its per-row work (sign buckets, one
-# 64-dim norm) is trivial, so the fan-out only added an exchange and
-# split the pandas-UDF stages into 32 tiny Arrow batches.
-_FAN_OUT_TABLES = {"documents": "doc_id"}
+_FAN_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
 def _local_input_bytes(path: str) -> int | None:
@@ -90,10 +95,12 @@ def fan_out(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
     return df.repartition(n, F.col(key))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan: bool = False
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    key = _FAN_OUT_TABLES.get(name)
-    if key is not None:
+    key = _FAN_KEYS.get(name)
+    if fan and key is not None:
         nbytes = _local_input_bytes(f"{sf_dir}/{name}.parquet")
         if nbytes is not None and nbytes < FAN_OUT_MAX_BYTES:
             df = fan_out(df, key)
@@ -127,7 +134,11 @@ def derive_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the skew path. Fully SQL-expressible so the DuckDB oracle can
     replay it bit-for-bit.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan=True: every derive consumer runs heavy pre-shuffle work (the
+    # turn explode here, then tokenize/link kernels or gram explodes)
+    # and all of them are association-order-free (integer counts,
+    # pinned partition-invariant mention floats, tiebroken windows)
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     words = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("words")
     )
