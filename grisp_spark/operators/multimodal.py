@@ -823,6 +823,13 @@ def jpeg_decode(b: bytes):
         if marker == 0xFF:
             pos += 1
             continue
+        # standalone (zero-payload) markers — TEM and stray RSTn/EOI —
+        # carry NO length field; reading one as length-prefixed would
+        # mis-walk a foreign/hostile stream into a wrong-but-plausible
+        # parse instead of a clean rejection (ADVICE r7). None of them
+        # is valid before SOS in a baseline stream we accept.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            return None
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         if seglen < 2 or pos + 2 + seglen > len(b):
             return None
@@ -917,6 +924,13 @@ def jpeg_decode(b: bytes):
                         break
                     if rs == 0xF0:  # ZRL
                         k += 16
+                        # ZRL must leave room for a following nonzero
+                        # coefficient (trailing zeros are coded by EOB)
+                        # — k ≥ 63 here means a hostile/corrupt stream;
+                        # reject instead of desyncing the bit reader
+                        # into the next block's DC (ADVICE r7)
+                        if k >= 63:
+                            return None
                         continue
                     k += (rs >> 4) + 1
                     if k > 63:

@@ -251,6 +251,12 @@ def _dense_ids(
     use min/max(gcol), which ignore nulls, so a null group spanning a
     boundary would be mis-fixed (rank assignment itself still
     handles nulls; today's callers have non-null keys either way)."""
+    # OWNERSHIP NOTE (ADVICE r7): this persist intentionally escapes
+    # the helper — the returned frame is lazy over the cached layout,
+    # so unpersisting here would force recomputation (and re-sampled
+    # range boundaries) in every consumer job. Callers that cache the
+    # mapInPandas result themselves (the KB builders cache `ent`) may
+    # release it after materializing; LRU eviction bounds the leak.
     base = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -264,9 +270,24 @@ def _dense_ids(
     aggs = [F.count("*").alias("n")]
     if gcol is not None:
         # partition-local sort by (gcol, ...) makes min/max the
-        # first/last keys of the partition
-        aggs += [F.min(gcol).alias("fk"), F.max(gcol).alias("lk")]
+        # first/last keys of the partition. count(gcol) vs count(*)
+        # rides the same agg as the NULL-key guard (ADVICE r7): the
+        # spill statistics IGNORE nulls, so a null group spanning a
+        # range boundary would silently corrupt min values — fail
+        # loudly instead (rank-only callers still handle nulls).
+        aggs += [
+            F.min(gcol).alias("fk"),
+            F.max(gcol).alias("lk"),
+            F.count(gcol).alias("nk"),
+        ]
     for r in base.groupBy("_pid").agg(*aggs).orderBy("_pid").collect():
+        if gcol is not None and int(r["nk"]) != int(r["n"]):
+            raise ValueError(
+                f"_dense_ids group_min requires non-null {gcol!r} keys: "
+                f"partition {r['_pid']} has {int(r['n']) - int(r['nk'])} "
+                "null group keys (boundary-spill statistics ignore "
+                "nulls and would mis-assign min ids)"
+            )
         stats[int(r["_pid"])] = (
             int(r["n"]),
             r["fk"] if gcol is not None else None,

@@ -103,3 +103,24 @@ def test_group_min_plan_is_single_shuffle(spark):
     # no-hashpartitioning assert above is what pins "single shuffle"
     assert "Exchange rangepartitioning" in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_group_min_null_keys_raise(spark):
+    # ADVICE r7: the boundary-spill statistics (min/max/count of the
+    # group key) ignore NULLs, so a null group could silently corrupt
+    # min ids — group_min must fail loudly on any null key
+    df = spark.range(1_000).select(
+        F.when(F.col("id") % 100 != 0, F.lpad(F.col("id").cast("string"), 4, "0"))
+        .alias("label"),
+        F.lit("x").alias("role"),
+    )
+    try:
+        _dense_ids(df, ["label", "role"], "eid", group_min=("label", "gmin"))
+    except ValueError as e:
+        assert "non-null" in str(e)
+    else:
+        raise AssertionError("null group keys must raise under group_min")
+    # rank-only path (no group_min) still accepts nulls (nulls-first)
+    got = _dense_ids(df, ["label", "role"], "eid")
+    ranks = sorted(r["eid"] for r in got.collect())
+    assert ranks == list(range(1, 1_001))

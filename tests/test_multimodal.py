@@ -476,3 +476,39 @@ def test_jpeg_encode_rejects_out_of_baseline_coefficients():
     ok[0, 0, 0, 1] = 1023
     ok[0, 0, 1, 0] = -1023
     assert jpeg_decode(jpeg_encode_blocks(ok, qt)) is not None
+
+
+def test_jpeg_standalone_marker_rejected():
+    # ADVICE r7: TEM (0x01) and stray RSTn/EOI before SOS carry no
+    # length field — a walk that reads one as length-prefixed would
+    # mis-parse a hostile stream into a plausible wrong answer; the
+    # decoder must reject cleanly instead
+    base = jpeg_encode_blocks(np.zeros((1, 1, 8, 8)), [8] + [255] * 63)
+    assert jpeg_decode(base) is not None
+    for marker in (0x01, 0xD0, 0xD7, 0xD9):
+        hostile = base[:2] + bytes([0xFF, marker]) + base[2:]
+        assert jpeg_decode(hostile) is None, hex(marker)
+
+
+def test_jpeg_zrl_overrun_rejected():
+    # a ZRL that pushes the coefficient index to/past 63 cannot be
+    # followed by any valid coefficient — the decoder must reject the
+    # blob instead of silently desyncing into the next block's DC.
+    # Build a valid 1-block stream, then splice hostile entropy data:
+    # DC size 0 (code from the std table), then four ZRLs (4x16 = 64).
+    qt = [8] + [255] * 63
+    coefs = np.zeros((1, 1, 8, 8))
+    coefs[0, 0, 7, 7] = 1  # force AC table emission with full codes
+    base = jpeg_encode_blocks(coefs, qt)
+    assert jpeg_decode(base) is not None
+    sos = base.rfind(b"\xff\xda")
+    head = base[: sos + 14]  # SOS header is 14 bytes incl. marker
+    # std luminance tables: DC cat 0 = '00' (2 bits); AC ZRL = 11 bits
+    # '11111111001'; pad with 1s to byte-align, then EOI
+    bits = "00" + "11111111001" * 4
+    bits += "1" * ((8 - len(bits) % 8) % 8)
+    payload = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    # byte-stuff any 0xFF in entropy data
+    payload = payload.replace(b"\xff", b"\xff\x00")
+    hostile = head + payload + b"\xff\xd9"
+    assert jpeg_decode(hostile) is None
