@@ -235,10 +235,16 @@ def link_mentions_shuffle(
                 "begin": [], "end": [], "surface": [], "entity_id": [],
                 "score": [],
             }
-            for row in pdf.itertuples(index=False):
-                tokens = list(row.tokens)
+            # bare column lists, not itertuples (the r8 kernel rule:
+            # row tuples materialize every cell per row)
+            for r_conv, r_turn, r_role, r_tool, r_tokens, r_spans in zip(
+                pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
+                pdf["role"].tolist(), pdf["tool"].tolist(),
+                pdf["tokens"].tolist(), pdf["spans"].tolist(),
+            ):
+                tokens = list(r_tokens)
                 by_begin: dict[int, dict] = {}
-                for sp in row.spans:
+                for sp in r_spans:
                     cur = by_begin.get(sp["begin"])
                     if cur is None or sp["end"] > cur["end"]:
                         by_begin[sp["begin"]] = sp
@@ -276,10 +282,10 @@ def link_mentions_shuffle(
                     p = spec.pick_sense(cands_scored)
                     if p is None:
                         continue
-                    out["conv_id"].append(row.conv_id)
-                    out["turn_idx"].append(row.turn_idx)
-                    out["role"].append(row.role)
-                    out["tool"].append(row.tool)
+                    out["conv_id"].append(r_conv)
+                    out["turn_idx"].append(r_turn)
+                    out["role"].append(r_role)
+                    out["tool"].append(r_tool)
                     out["begin"].append(sp["begin"])
                     out["end"].append(sp["end"])
                     out["surface"].append(sp["surface"])
