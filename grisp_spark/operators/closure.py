@@ -19,6 +19,8 @@ set, and AQE coalesces the (shrinking) frontier.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,10 +69,19 @@ def resolve_chains(
                 ptr = nxt
                 if not moved:
                     break
-            return spark.createDataFrame(
+            # Arrow path (pandas input): the list-of-tuples overload
+            # builds a PythonRDD whose tasks each need a pickle-mode
+            # python worker — a 32-fork spawn storm serialized on the
+            # SparkEnv.createPythonWorker monitor, measured 1.2-4.6 s
+            # inside q13's timed window (jstack evidence in
+            # OPTIMIZATION_r08.md). pandas → Arrow converts on the
+            # driver; the scan tasks stay pure JVM.
+            out = pd.DataFrame(
                 sorted((int(s), int(d)) for s, d in ptr.items()),
-                "src long, terminal long",
+                columns=["src", "terminal"],
+                dtype="int64",
             )
+            return spark.createDataFrame(out, "src long, terminal long")
     cur = edges.select("src", "dst")
     for _ in range(max_rounds):
         a, b = cur.alias("a"), cur.alias("b")
@@ -304,5 +315,10 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     spark = edges.sparkSession
     pdf = edges.select("src", "dst").toPandas()
     comp = union_find_pairs(zip(pdf["src"], pdf["dst"]))
-    rows = sorted(comp.items())
-    return spark.createDataFrame(rows, "id long, component long")
+    # pandas input → Arrow conversion on the driver; the list overload
+    # would spawn pickle-mode python workers per partition (see
+    # resolve_chains' driver path)
+    out = pd.DataFrame(
+        sorted(comp.items()), columns=["id", "component"], dtype="int64"
+    )
+    return spark.createDataFrame(out, "id long, component long")

@@ -22,6 +22,7 @@ aggregation shapes."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -299,8 +300,15 @@ def _dense_ids(
         # rows before it = count(key < last_key); one P-row agg over
         # the cached layout
         lk_field = base.schema[gcol]
+        # pandas input → Arrow conversion on the driver; the plain
+        # list overload builds a PythonRDD whose tasks spawn
+        # pickle-mode python workers (a fork storm serialized on the
+        # SparkEnv monitor — see operators/closure.py)
         lk_df = df.sparkSession.createDataFrame(
-            [(p, v[2]) for p, v in stats.items() if v[0]],
+            pd.DataFrame(
+                [(p, v[2]) for p, v in stats.items() if v[0]],
+                columns=["_pid", "_lk"],
+            ),
             T.StructType(
                 [
                     T.StructField("_pid", T.IntegerType()),

